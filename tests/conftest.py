@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip hardware is unavailable in CI; all sharding/collective tests run on
+a CPU-simulated mesh (jax.sharding.Mesh over 8 host-platform devices).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) >= 8, f"Expected >=8 virtual CPU devices, got {len(devices)}"
+    return devices
