@@ -1,0 +1,508 @@
+"""KV-cached autoregressive generation: greedy, beam search, exhaustive scoring.
+
+Semantic parity with the reference decode paths (reference
+embedding_decoder.py: generate :779-850, generate_beam :852-984,
+precompute_generate_all/generate_all :986-1079) — guide-trie masking, vocab
+prior corrections, temperature/length-alpha scoring, forced end tokens for
+finished candidates — but engineered for TPU:
+
+* One ``lax.scan`` over a fixed G = Cmax-1 steps with a KV cache; the
+  reference re-runs the full transformer per step and host-syncs every
+  iteration for early exit (embedding_decoder.py:817,964). Fixed shapes
+  compile once; finished samples are handled by masking instead of breaking.
+* Guide/vocab trie masks are updated functionally inside the scan carry.
+* All outputs use the padded width G; trailing all-padded columns are
+  equivalent to the reference's early-exit truncation for all consumers
+  (detokenize/scoring mask padded positions).
+
+Equivalence note: the reference masks attention keys for finished samples;
+because padding is always trailing under a causal mask, those masks only
+affect outputs that are discarded, so the KV-cached path yields identical
+chosen tokens and scores for every non-padded position.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from novic_tpu.models.layers import NEG_INF
+
+INF = -NEG_INF
+
+
+def _scatter_allowed(base_shape: tuple, idx: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """-inf everywhere except 0 at positions named by idx (scatter trick,
+    ref embedding_decoder.py:809,917). base_shape = (..., V+1); idx values of V
+    land in the discarded overflow column."""
+    base = jnp.full(base_shape, NEG_INF, dtype=dtype)
+    return _scatter_max_zero(base, idx)
+
+
+def _scatter_max_zero(base: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    # idx indexes the last axis; leading axes are aligned elementwise.
+    if idx.ndim == 2:  # (B, W) into (B, V+1)
+        b = jnp.arange(idx.shape[0])[:, None]
+        return base.at[b, idx].max(0.0)
+    if idx.ndim == 3:  # (B, H, W) into (B, H, V+1)
+        b = jnp.arange(idx.shape[0])[:, None, None]
+        h = jnp.arange(idx.shape[1])[None, :, None]
+        return base.at[b, h, idx].max(0.0)
+    raise ValueError(f"Unsupported idx ndim: {idx.ndim}")
+
+
+def _scatter_count(base_shape: tuple, idx: jnp.ndarray, weights: Optional[jnp.ndarray] = None,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    base = jnp.zeros(base_shape, dtype=dtype)
+    src = jnp.ones(idx.shape, dtype=dtype) if weights is None else weights
+    if idx.ndim == 2:
+        b = jnp.arange(idx.shape[0])[:, None]
+        return base.at[b, idx].add(src)
+    if idx.ndim == 3:
+        b = jnp.arange(idx.shape[0])[:, None, None]
+        h = jnp.arange(idx.shape[1])[None, :, None]
+        return base.at[b, h, idx].add(src)
+    raise ValueError(f"Unsupported idx ndim: {idx.ndim}")
+
+
+# ---------------------------------------------------------------------------
+# Greedy generation (ref embedding_decoder.py:779-850)
+# ---------------------------------------------------------------------------
+
+
+def generate_greedy(
+    model,
+    params,
+    embed: jnp.ndarray,
+    *,
+    collect_logits: bool = False,
+    calc_loss: bool = False,
+    temperature: float = 1.0,
+    length_alpha: float = 0.0,
+    sample_weight: Optional[jnp.ndarray] = None,
+    guide_targets: Optional[jnp.ndarray] = None,
+    guide_renorm: bool = False,
+):
+    """Greedy KV-cached decode. Returns
+    (target BxG, target_padding BxG, seq_logits BxGxV | None, loss_sum, loss_basis, target_score)."""
+    cfg = model.cfg
+    B = embed.shape[0]
+    G = cfg.token_length - 1
+    V = cfg.vocab_size
+    bound = model.bind({"params": params})
+
+    k0, v0 = bound.init_cache(B)
+    logits1, k0, v0 = bound.prefill(embed, k0, v0)
+
+    have_guide = guide_targets is not None
+    guide_dead0 = jnp.zeros((B, guide_targets.shape[0]), dtype=bool) if have_guide else None
+
+    def pick_token(logits, sample_mask, guide_dead, step):
+        """Choose next token per reference rules; returns (token, guide_score, new_guide_dead)."""
+        if have_guide:
+            gcol = jax.lax.dynamic_index_in_dim(guide_targets, step - 1, axis=1, keepdims=False)  # (W,)
+            idx = jnp.where(guide_dead, V, jnp.broadcast_to(gcol[None, :], guide_dead.shape))
+            guide_score = _scatter_allowed((B, V + 1), idx)[:, :V]
+            scored = guide_score + logits
+            token = jnp.argmax(scored, axis=1).astype(jnp.int32)
+            new_dead = guide_dead | jnp.not_equal(token[:, None], gcol[None, :])
+        else:
+            guide_score = jnp.zeros((B, V), dtype=logits.dtype)
+            # Disallow end token at the very first step (ref :804)
+            masked = jnp.where((jnp.arange(V)[None, :] == 0) & (step == 1), NEG_INF, logits)
+            token = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            new_dead = None
+        return token, guide_score, new_dead
+
+    def body(carry, step):
+        logits, sample_mask, guide_dead, k, v = carry
+        token, guide_score, guide_dead = pick_token(logits, sample_mask, guide_dead, step)
+        padding_t = sample_mask  # padding at position step-1 = finished before this step
+        sample_mask = sample_mask | (token == 0)
+        logits_next, k, v = bound.decode_step(token, step, k, v)
+        out = (logits, token, padding_t, guide_score)
+        return (logits_next, sample_mask, guide_dead, k, v), out
+
+    init = (logits1, jnp.zeros((B,), dtype=bool), guide_dead0, k0, v0)
+    _, (seq_logits, tokens, paddings, guide_scores) = jax.lax.scan(
+        body, init, jnp.arange(1, G + 1))
+
+    target = jnp.transpose(tokens)            # BxG
+    target_padding = jnp.transpose(paddings)  # BxG
+    seq_logits_b = jnp.transpose(seq_logits, (1, 0, 2))  # BxGxV
+    target = jnp.where(target_padding, 0, target)
+
+    loss_sum = loss_basis = target_score = None
+    if calc_loss:
+        score_logits = seq_logits_b / temperature
+        if have_guide and guide_renorm:
+            score_logits = score_logits + jnp.transpose(guide_scores, (1, 0, 2))
+        logp = jax.nn.log_softmax(score_logits, axis=2)
+        target_score = jnp.take_along_axis(logp, target[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]
+        target_score = jnp.where(target_padding, 0.0, target_score).sum(axis=1)
+        if length_alpha != 0:
+            n = jnp.maximum((G - target_padding.sum(axis=1)).astype(target_score.dtype), 1.0)
+            target_score = target_score * jnp.power(n, -length_alpha)
+
+        from novic_tpu.models.prefixed_iter import cross_entropy_elems
+        loss_target = jnp.where(target_padding, -1, target)
+        elems = cross_entropy_elems(seq_logits_b, loss_target, cfg.label_smoothing)
+        if sample_weight is None:
+            loss_sum = elems.sum()
+            loss_basis = (target_padding.size - target_padding.sum()).astype(embed.dtype)
+        else:
+            loss_sum = jnp.dot(sample_weight, elems.sum(axis=1))
+            loss_basis = jnp.dot(sample_weight,
+                                 (G - target_padding.sum(axis=1)).astype(sample_weight.dtype))
+
+    return (target, target_padding, seq_logits_b if (collect_logits or calc_loss) else None,
+            loss_sum, loss_basis, target_score)
+
+
+# ---------------------------------------------------------------------------
+# Beam search (ref embedding_decoder.py:852-984)
+# ---------------------------------------------------------------------------
+
+
+def generate_beam(
+    model,
+    params,
+    embed: jnp.ndarray,
+    *,
+    topk: int,
+    temperature: float = 1.0,
+    length_alpha: float = 0.0,
+    vocab_targets: Optional[jnp.ndarray] = None,
+    vocab_per_token: bool = False,
+    vocab_scaler: float = 0.0,
+    guide_targets: Optional[jnp.ndarray] = None,
+    guide_renorm: bool = False,
+):
+    """Batched KV-cached beam search. Returns (target BxHxG, padding BxHxG, scores BxH),
+    descending score order per sample."""
+    cfg = model.cfg
+    B = embed.shape[0]
+    H = topk
+    G = cfg.token_length - 1
+    V = cfg.vocab_size
+    bound = model.bind({"params": params})
+
+    have_guide = guide_targets is not None
+    use_vocab = vocab_targets is not None and vocab_scaler != 0
+    vocab_is_guide = False
+    if use_vocab and have_guide:
+        if vocab_targets is guide_targets:
+            vocab_is_guide = True
+        elif isinstance(vocab_targets, np.ndarray) and isinstance(guide_targets, np.ndarray):
+            vocab_is_guide = (vocab_targets.shape == guide_targets.shape
+                              and np.array_equal(vocab_targets, guide_targets))
+    W = guide_targets.shape[0] if have_guide else 0
+    Z = vocab_targets.shape[0] if use_vocab else 0
+    use_alpha = length_alpha != 0
+
+    # Caches hold B*H rows; candidate reordering gathers along the H axis.
+    embed_rep = jnp.repeat(embed, H, axis=0)  # (B*H, F)
+    k0, v0 = bound.init_cache(B * H)
+    logits1_flat, k0, v0 = bound.prefill(embed_rep, k0, v0)
+    logits1 = logits1_flat.reshape(B, H, V)
+
+    target0 = jnp.zeros((B, H, G), dtype=jnp.int32)
+    padding0 = jnp.ones((B, H, G), dtype=bool).at[:, 0, 0].set(False)
+    score0 = jnp.full((B, H), NEG_INF).at[:, 0].set(0.0)
+    guide_mask0 = (jnp.ones((B, H, W), dtype=bool).at[:, 0, :].set(False)) if have_guide else None
+    vocab_mask0 = (jnp.ones((B, H, Z), dtype=bool).at[:, 0, :].set(False)) \
+        if (use_vocab and not vocab_is_guide) else None
+    seq_len0 = jnp.zeros((B, H)).at[:, 0].set(1.0) if use_alpha else None
+
+    def gather_h(x, cand):
+        """Gather along the candidate (H) axis: x (B,H,...) by cand (B,H)."""
+        b = jnp.arange(B)[:, None]
+        return x[b, cand]
+
+    def body(carry, step):
+        (logits_raw, target, padding, score, guide_mask, vocab_mask, seq_len, k, v) = carry
+        Cm = step - 1
+
+        finished = jax.lax.dynamic_index_in_dim(padding, Cm, axis=2, keepdims=False)  # (B,H): padding at pos C-1
+        logits = logits_raw / temperature
+        # Force finished candidates to predict end with score 0 (ref :913)
+        col_is_end = (jnp.arange(V)[None, None, :] == 0)
+        logits = jnp.where(~col_is_end & finished[:, :, None], NEG_INF, logits)
+
+        guide_score = None
+        guide_idx = None
+        if have_guide:
+            gcol = jax.lax.dynamic_index_in_dim(guide_targets, Cm, axis=1, keepdims=False)  # (W,)
+            guide_idx = jnp.where(guide_mask, V, jnp.broadcast_to(gcol[None, None, :], (B, H, W)))
+            guide_score = _scatter_allowed((B, H, V + 1), guide_idx)[:, :, :V]
+            guide_score = jnp.where(col_is_end & finished[:, :, None], 0.0, guide_score)  # ref :918
+            if guide_renorm:
+                logits = logits + guide_score
+
+        scores = jax.nn.log_softmax(logits, axis=2)
+
+        if use_vocab:
+            if vocab_is_guide:
+                vocab_idx = guide_idx
+            else:
+                zcol = jax.lax.dynamic_index_in_dim(vocab_targets, Cm, axis=1, keepdims=False)
+                vocab_idx = jnp.where(vocab_mask, V, jnp.broadcast_to(zcol[None, None, :], (B, H, Z)))
+            if vocab_per_token:
+                present = jnp.minimum(_scatter_count((B, H, V + 1), vocab_idx), 1.0)[:, :, :V]
+                vocab_probs = present / jnp.maximum(present.sum(axis=2, keepdims=True), 1e-30)
+            else:
+                counts = _scatter_count((B, H, V + 1), vocab_idx)
+                invalid = counts[:, :, V:]
+                nz = vocab_idx.shape[2] - invalid
+                vocab_probs = counts[:, :, :V] / jnp.maximum(nz, 1e-30)
+            vocab_probs = jnp.log(vocab_probs)
+            vocab_probs = jnp.where(jnp.isfinite(vocab_probs), vocab_probs, INF)  # ref :934
+            vocab_probs = jnp.where(col_is_end & finished[:, :, None], 0.0, vocab_probs)
+            scores = scores - vocab_scaler * vocab_probs
+
+        scores = scores + score[:, :, None]
+        if True:  # disallow end as first generated token (ref :939-940)
+            first_mask = (step == 1) & col_is_end[:, :, :] & (jnp.arange(H)[None, :, None] == 0)
+            scores = jnp.where(first_mask, NEG_INF, scores)
+
+        if have_guide and not guide_renorm:
+            scores = scores + guide_score
+
+        flat = scores.reshape(B, H * V)
+        if use_alpha:
+            scale = jnp.power(jnp.maximum(seq_len, 1.0), -length_alpha)  # (B,H)
+            flat_normed = (scores * scale[:, :, None]).reshape(B, H * V)
+            top_normed, top_idx = jax.lax.top_k(flat_normed, H)
+            new_score = jnp.take_along_axis(flat, top_idx, axis=1)
+            new_score_normed = top_normed
+        else:
+            new_score, top_idx = jax.lax.top_k(flat, H)
+            new_score_normed = None
+
+        cand = (top_idx // V).astype(jnp.int32)  # (B,H)
+        tok = (top_idx % V).astype(jnp.int32)    # (B,H)
+
+        target = gather_h(target, cand)
+        padding = gather_h(padding, cand)
+        target = jax.lax.dynamic_update_index_in_dim(target, tok, Cm, axis=2)
+
+        was_finished = jax.lax.dynamic_index_in_dim(padding, Cm, axis=2, keepdims=False)
+        new_finished = (tok == 0) | was_finished
+        # Write finished flag at position C (next step's padding), if within range
+        padding = jax.lax.cond(
+            step < G,
+            lambda p: jax.lax.dynamic_update_index_in_dim(p, new_finished, jnp.minimum(step, G - 1), axis=2),
+            lambda p: p,
+            padding,
+        )
+
+        if have_guide:
+            gcol = jax.lax.dynamic_index_in_dim(guide_targets, Cm, axis=1, keepdims=False)
+            guide_mask = gather_h(guide_mask, cand) | jnp.not_equal(tok[:, :, None], gcol[None, None, :])
+        if vocab_mask is not None:
+            zcol = jax.lax.dynamic_index_in_dim(vocab_targets, Cm, axis=1, keepdims=False)
+            vocab_mask = gather_h(vocab_mask, cand) | jnp.not_equal(tok[:, :, None], zcol[None, None, :])
+        if use_alpha:
+            seq_len = gather_h(seq_len, cand) + (~new_finished).astype(seq_len.dtype)
+
+        # Reorder KV caches by candidate, then run one decode step
+        flat_cand = (cand + jnp.arange(B)[:, None] * H).reshape(-1)  # (B*H,) flat row indices
+        k = [kc[flat_cand] for kc in k]
+        v = [vc[flat_cand] for vc in v]
+        logits_next, k, v = bound.decode_step(tok.reshape(-1), step, k, v)
+        logits_next = logits_next.reshape(B, H, V)
+
+        score_out = new_score_normed if use_alpha else new_score
+        return (logits_next, target, padding, new_score if not use_alpha else new_score,
+                guide_mask, vocab_mask, seq_len, k, v), score_out
+
+    carry = (logits1, target0, padding0, score0, guide_mask0, vocab_mask0, seq_len0, k0, v0)
+    # NB: raw (unnormalized) cumulative score threads the carry; normalized score is emitted.
+    (logits_f, target, padding, score_raw, _, _, _, _, _), score_seq = jax.lax.scan(
+        body, carry, jnp.arange(1, G + 1))
+
+    target = jnp.where(padding, 0, target)
+    final_score = score_seq[-1] if use_alpha else score_raw
+    return target, padding, final_score
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive guided scoring (ref embedding_decoder.py:986-1079)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GenerateAllPrecompute:
+    guide_targets: np.ndarray       # WxC trimmed, padding zeroed
+    guide_paddings: np.ndarray      # WxC bool
+    guide_scores: Optional[np.ndarray]  # WxCxV renorm masks (0/-inf) or None
+    vocab_scores: Optional[np.ndarray]  # (W,) prior correction per guide target
+    alpha_scale: Optional[np.ndarray]   # (W,) length normalization
+
+
+def precompute_generate_all(
+    vocab_size: int,
+    *,
+    length_alpha: float,
+    vocab_targets: Optional[np.ndarray],
+    vocab_per_token: bool,
+    vocab_scaler: float,
+    guide_targets: np.ndarray,
+    guide_renorm: bool,
+) -> GenerateAllPrecompute:
+    """Host-side precomputation (numpy) of guide paddings, renorm masks, vocab
+    prior corrections and alpha scales (ref embedding_decoder.py:986-1041)."""
+    guide_targets = np.asarray(guide_targets)
+    W, Cmax = guide_targets.shape
+    V = vocab_size
+
+    guide_paddings = np.zeros((W, Cmax), dtype=bool)
+    guide_paddings[:, 1:] = np.logical_not(guide_targets[:, :-1])
+    guide_paddings[:, 1:] = np.maximum.accumulate(guide_paddings[:, 1:], axis=1)
+
+    C = Cmax - int(guide_paddings.all(axis=0).sum())
+    guide_paddings = guide_paddings[:, :C]
+    guide_targets = np.where(guide_paddings, 0, guide_targets[:, :C])
+
+    if guide_renorm:
+        gt_T = guide_targets.T  # CxW
+        guide_mask = np.zeros((W, C, W), dtype=bool)
+        guide_mask[:, 1:, :] = np.not_equal(guide_targets[:, :-1, None], gt_T[None, :-1, :])
+        guide_mask[:, 1:, :] = np.maximum.accumulate(guide_mask[:, 1:, :], axis=1)
+        guide_scores = np.full((W, C, V), NEG_INF, dtype=np.float32)
+        w_idx = np.broadcast_to(np.arange(W)[:, None, None], (W, C, W))
+        c_idx = np.broadcast_to(np.arange(C)[None, :, None], (W, C, W))
+        tok_idx = np.broadcast_to(gt_T[None, :, :], (W, C, W))
+        valid = ~guide_mask
+        guide_scores[w_idx[valid], c_idx[valid], tok_idx[valid]] = 0.0
+    else:
+        guide_scores = None
+
+    if vocab_targets is None or vocab_scaler == 0:
+        vocab_scores = None
+    else:
+        vocab_targets = np.asarray(vocab_targets)[:, :C]
+        Z = vocab_targets.shape[0]
+        vt_T = vocab_targets.T  # CxZ
+        vocab_mask = np.zeros((W, C, Z), dtype=bool)
+        vocab_mask[:, 1:, :] = np.not_equal(guide_targets[:, :-1, None], vt_T[None, :-1, :])
+        vocab_mask[:, 1:, :] = np.maximum.accumulate(vocab_mask[:, 1:, :], axis=1)
+        probs = np.zeros((W, C), dtype=np.float64)
+        for w in range(W):
+            for c in range(C):
+                alive = vt_T[c][~vocab_mask[w, c]]
+                tok = guide_targets[w, c]
+                if vocab_per_token:
+                    uniq = np.unique(alive)
+                    probs[w, c] = (1.0 / len(uniq)) if tok in uniq else 0.0
+                else:
+                    probs[w, c] = np.count_nonzero(alive == tok) / max(len(alive), 1)
+        with np.errstate(divide="ignore"):
+            vocab_scores = np.log(probs)
+        vocab_scores[~np.isfinite(vocab_scores)] = INF
+        vocab_scores[guide_paddings] = 0.0
+        vocab_scores = (vocab_scores.sum(axis=1) * vocab_scaler).astype(np.float32)
+
+    if length_alpha == 0:
+        alpha_scale = None
+    else:
+        n = np.maximum(C - guide_paddings.sum(axis=1), 1)
+        alpha_scale = np.power(n.astype(np.float32), -length_alpha)
+
+    return GenerateAllPrecompute(guide_targets=guide_targets.astype(np.int32),
+                                 guide_paddings=guide_paddings,
+                                 guide_scores=guide_scores,
+                                 vocab_scores=vocab_scores,
+                                 alpha_scale=alpha_scale)
+
+
+def generate_all(
+    model,
+    params,
+    embed: jnp.ndarray,
+    *,
+    topk: int,
+    temperature: float = 1.0,
+    length_alpha: float = 0.0,
+    vocab_targets: Optional[np.ndarray] = None,
+    vocab_per_token: bool = False,
+    vocab_scaler: float = 0.0,
+    guide_targets: Optional[np.ndarray] = None,
+    guide_renorm: bool = False,
+    precompute: Optional[GenerateAllPrecompute] = None,
+    chunk: int = 128,
+):
+    """Teacher-force every guide target and return the per-sample top-k
+    (ref embedding_decoder.py:1043-1079). Returns (targets BxKxC, paddings BxKxC, scores BxK)."""
+    cfg = model.cfg
+    if precompute is None:
+        precompute = precompute_generate_all(
+            cfg.vocab_size, length_alpha=length_alpha, vocab_targets=vocab_targets,
+            vocab_per_token=vocab_per_token, vocab_scaler=vocab_scaler,
+            guide_targets=np.asarray(guide_targets), guide_renorm=guide_renorm)
+
+    gt = precompute.guide_targets
+    gp = precompute.guide_paddings
+    W, C = gt.shape
+    B = embed.shape[0]
+    K = topk
+
+    # Pad W up to a multiple of the chunk size; padded rows are masked to -inf.
+    n_chunks = -(-W // chunk)
+    Wp = n_chunks * chunk
+    gt_p = np.zeros((Wp, C), dtype=np.int32)
+    gt_p[:W] = gt
+    gp_p = np.ones((Wp, C), dtype=bool)
+    gp_p[:W] = gp
+    valid = np.zeros((Wp,), dtype=bool)
+    valid[:W] = True
+    gs_p = None
+    if precompute.guide_scores is not None:
+        gs_p = np.zeros((Wp, C, cfg.vocab_size), dtype=np.float32)
+        gs_p[:W] = precompute.guide_scores
+
+    gt_d = jnp.asarray(gt_p).reshape(n_chunks, chunk, C)
+    gp_d = jnp.asarray(gp_p).reshape(n_chunks, chunk, C)
+    gs_d = jnp.asarray(gs_p).reshape(n_chunks, chunk, C, cfg.vocab_size) if gs_p is not None else None
+
+    def score_chunk(carry, inputs):
+        if gs_d is not None:
+            g_tok, g_pad, g_scores = inputs
+        else:
+            g_tok, g_pad = inputs
+            g_scores = None
+        tgt = jnp.broadcast_to(g_tok[None, :, :], (B, chunk, C))
+        logits, _, _, _, _ = model.apply(
+            {"params": params}, embed, tgt, None, None,
+            calc_loss=False, calc_correct=False, only_pred=False,
+            guide_targets=None, multi_first=False, deterministic=True)
+        logits = logits / temperature  # BxHxCxV
+        if g_scores is not None:
+            logits = logits + g_scores[None, :, :, :]
+        logp = jax.nn.log_softmax(logits, axis=3)
+        sc = jnp.take_along_axis(logp, tgt[:, :, :, None], axis=3)[:, :, :, 0]
+        sc = jnp.where(g_pad[None, :, :], 0.0, sc)
+        return carry, sc.sum(axis=2)  # BxH
+
+    xs = (gt_d, gp_d, gs_d) if gs_d is not None else (gt_d, gp_d)
+    _, chunk_scores = jax.lax.scan(score_chunk, None, xs)  # (n_chunks, B, chunk)
+    scores = jnp.transpose(chunk_scores, (1, 0, 2)).reshape(B, Wp)
+
+    if precompute.vocab_scores is not None:
+        vs = jnp.zeros((Wp,), jnp.float32).at[:W].set(jnp.asarray(precompute.vocab_scores))
+        scores = scores - vs[None, :]
+    if precompute.alpha_scale is not None:
+        asc = jnp.ones((Wp,), jnp.float32).at[:W].set(jnp.asarray(precompute.alpha_scale))
+        scores = scores * asc[None, :]
+    scores = jnp.where(jnp.asarray(valid)[None, :], scores, NEG_INF)
+
+    topk_scores, topk_idx = jax.lax.top_k(scores, K)
+    gt_full = jnp.asarray(gt_p)
+    gp_full = jnp.asarray(gp_p)
+    topk_targets = gt_full[topk_idx]   # BxKxC
+    topk_paddings = gp_full[topk_idx]  # BxKxC
+    return topk_targets, topk_paddings, topk_scores

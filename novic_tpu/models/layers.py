@@ -1,0 +1,423 @@
+"""Decoder building blocks: embedding MLP, positional embedding, transformer.
+
+Faithful to the reference architecture (reference embedding_decoder.py:
+EmbeddingVectorMLP :1161-1276, LearnedPosEmbedding :1279-1297,
+create_embedding :228-278, create_transformer :280-409, custom ReZero layers
+:1086-1158) but written TPU-first:
+
+* Weights are stored in torch layout (out_features, in_features) so reference
+  checkpoints convert by direct copy; matmuls use dot_general over the last
+  axes, which XLA maps straight onto the MXU without transposition copies.
+* The transformer exposes both a full-sequence path (training / teacher
+  forcing) and a KV-cached single-token ``step`` path used by lax.scan
+  generation — fixing the reference's biggest inefficiency (it re-runs the
+  full transformer every decode step, embedding_decoder.py:779-850).
+* Attention masks are additive float biases built once at trace time; shapes
+  are always static (max_seq_len = P + Cmax - 1 is tiny, ~13).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from novic_tpu.models.config import DecoderModelConfig, activation_gain, get_activation
+
+NEG_INF = -1e30  # finite -inf stand-in: keeps softmax NaN-free for fully masked rows
+
+_PRECISIONS = {"default": None, "high": "high", "highest": "highest"}
+
+
+def resolve_precision(name: str):
+    if name not in _PRECISIONS:
+        raise ValueError(f"Unknown matmul precision: {name}")
+    return _PRECISIONS[name]
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+          precision=None) -> jnp.ndarray:
+    """y = x @ w.T + b with torch-layout weight (out, in); contraction on last axes."""
+    y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=precision)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def torch_linear_default_init(fan_in: int):
+    """torch.nn.Linear default: kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+
+def xavier_uniform_init():
+    def init(key, shape, dtype=jnp.float32):
+        fan_out, fan_in = shape[0], shape[1]
+        bound = math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray],
+               eps: float = 1e-5) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * weight
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def causality_mask(max_seq_len: int, prefix_len: int, strictly_causal: bool) -> jnp.ndarray:
+    """Additive float causal mask; prefix block is non-causal unless strictly_causal
+    (ref embedding_decoder.py:651-654)."""
+    i = jnp.arange(max_seq_len)[:, None]
+    j = jnp.arange(max_seq_len)[None, :]
+    allowed = j <= i
+    if not strictly_causal:
+        allowed = allowed | ((i < prefix_len) & (j < prefix_len))
+    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+
+
+class EmbeddingVectorMLP(nn.Module):
+    """F → (hidden?) → P·E MLP over unit-normalized embeddings
+    (ref embedding_decoder.py:1161-1276 + create_mlp :203-226)."""
+
+    cfg: DecoderModelConfig
+    output_bias: bool = False
+
+    def _sizes(self) -> tuple[int, Optional[int]]:
+        cfg = self.cfg
+        output_size = cfg.mlp_seq_len * cfg.hidden_dim
+        hl = cfg.mlp_hidden_layer
+        if hl == "none":
+            hidden = None
+        elif hl == "min":
+            hidden = min(cfg.embed_dim, output_size)
+        elif hl == "max":
+            hidden = max(cfg.embed_dim, output_size)
+        elif hl == "amean":
+            hidden = round(((cfg.embed_dim + output_size) // 2) / 64) * 64
+        elif hl == "gmean":
+            hidden = round(math.sqrt(cfg.embed_dim * output_size) / 64) * 64
+        else:
+            raise ValueError(f"Unsupported hidden layer argument: {hl}")
+        return output_size, hidden
+
+    @nn.compact
+    def __call__(self, embed: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        output_size, hidden_size = self._sizes()
+
+        # Balanced-init math (ref embedding_decoder.py:203-226, :1213-1267)
+        if cfg.init_mlp_mode == "default":
+            balanced = None
+        elif cfg.init_mlp_mode == "balanced":
+            balanced = 1.0 if self.output_bias else 1.0 / math.sqrt(2)
+        else:
+            raise ValueError(f"Unrecognised MLP initialisation mode: {cfg.init_mlp_mode}")
+        if balanced is None:
+            init_output_std = None
+        elif cfg.init_mlp_unit_norm:
+            init_output_std = balanced / math.sqrt(cfg.hidden_dim)
+        else:
+            init_output_std = balanced
+
+        def w_init(std, fan_in):
+            return normal_init(std) if std is not None else torch_linear_default_init(fan_in)
+
+        x = embed / jnp.maximum(jnp.linalg.norm(embed, axis=-1, keepdims=True), 1e-12)
+        prec = resolve_precision(cfg.matmul_precision)
+
+        if hidden_size is None:
+            w1 = self.param("linear1_weight", w_init(init_output_std, cfg.embed_dim),
+                            (output_size, cfg.embed_dim))
+            b1 = (self.param("linear1_bias", nn.initializers.zeros, (output_size,))
+                  if self.output_bias else None)
+            x = dense(x, w1, b1, precision=prec)
+        else:
+            act = get_activation(cfg.mlp_hidden_activation)
+            gain = activation_gain(cfg.mlp_hidden_activation, unit_std=not cfg.init_mlp_unit_norm)
+            if balanced is not None:
+                init_output_norm = balanced if cfg.init_mlp_unit_norm else balanced * math.sqrt(cfg.hidden_dim)
+                hidden_std = (init_output_norm / gain) * math.sqrt(cfg.mlp_seq_len / hidden_size)
+            elif cfg.init_mlp_unit_norm:
+                hidden_std = math.sqrt(cfg.mlp_seq_len / hidden_size)
+            else:
+                hidden_std = 1.0
+            w1 = self.param("linear1_weight", w_init(hidden_std if balanced is not None else None,
+                                                     cfg.embed_dim), (hidden_size, cfg.embed_dim))
+            b1 = (self.param("linear1_bias", nn.initializers.zeros, (hidden_size,))
+                  if cfg.mlp_hidden_bias else None)
+            x = dense(x, w1, b1, precision=prec)
+            if cfg.mlp_hidden_norm:
+                nw = self.param("norm_weight", nn.initializers.constant(hidden_std), (hidden_size,))
+                nb = (self.param("norm_bias", nn.initializers.zeros, (hidden_size,))
+                      if cfg.mlp_hidden_bias else None)
+                x = layer_norm(x, nw, nb)
+            x = act(x)
+            w2 = self.param("linear2_weight", w_init(1.0 / math.sqrt(output_size), hidden_size),
+                            (output_size, hidden_size))
+            b2 = (self.param("linear2_bias", nn.initializers.zeros, (output_size,))
+                  if self.output_bias else None)
+            x = dense(x, w2, b2, precision=prec)
+
+        return x.reshape(embed.shape[0], cfg.mlp_seq_len, cfg.hidden_dim)
+
+
+class TransformerLayer(nn.Module):
+    """One pre/post-LN encoder layer with optional ReZero, matching torch
+    nn.TransformerEncoderLayer semantics (ref embedding_decoder.py:1086-1117)."""
+
+    cfg: DecoderModelConfig
+    layer_index: int
+    postnorm_override: Optional[float] = None  # post-LN: last layer's norm2 = postnorm scale
+
+    def setup(self):
+        cfg = self.cfg
+        E, FF = cfg.hidden_dim, cfg.feedfwd_dim
+        bias = cfg.layer_bias
+
+        factor = 1.0 / math.sqrt(E)
+        num_layers_factor = 1.0 / math.sqrt(2 * cfg.num_layers)
+        nominal_std = factor if cfg.init_tfrm_unit_norm else 1.0
+        gain = activation_gain(cfg.layer_activation,
+                               unit_std=not (cfg.init_tfrm_unit_norm or cfg.init_zero_norm))
+        init_norm_scale = 0.0 if cfg.init_zero_norm else nominal_std
+
+        if cfg.init_tfrm_mode == "default":
+            in_proj_init = xavier_uniform_init()
+            out_proj_init = torch_linear_default_init(E)
+            ff1_init = torch_linear_default_init(E)
+            ff2_init = torch_linear_default_init(FF)
+        else:
+            if cfg.init_tfrm_mode == "open":
+                std_in, std_out = factor, factor
+                std_ff1, std_ff2 = factor / math.sqrt(2), factor
+            elif cfg.init_tfrm_mode == "balanced":
+                # attn_scale estimates the multihead-attention scale factor for
+                # attn_dim active attention locations (ref embedding_decoder.py:352)
+                d = max(cfg.mlp_seq_len, 1)
+                attn_scale = math.sqrt((1 + (nominal_std ** 4) * (d - 1) / d) / d)
+                std_in = factor
+                std_out = factor / attn_scale
+                std_ff1 = factor
+                std_ff2 = 1.0 / (math.sqrt(FF) * gain)
+            else:
+                raise ValueError(f"Unrecognised transformer initialisation mode: {cfg.init_tfrm_mode}")
+            if cfg.init_tfrm_proj_layers:
+                std_out *= num_layers_factor
+                std_ff2 *= num_layers_factor
+            # Released config has no biases; the bias-split variant (weight std/sqrt(2))
+            # only applies when biases exist and init_bias_zero is False
+            # (ref embedding_decoder.py:394-404).
+            split = bias and not cfg.init_bias_zero
+            s = 1.0 / math.sqrt(2) if split else 1.0
+            in_proj_init = normal_init(std_in * s)
+            out_proj_init = normal_init(std_out * s)
+            ff1_init = normal_init(std_ff1 * s)
+            ff2_init = normal_init(std_ff2 * s)
+
+        self.in_proj_weight = self.param("self_attn_in_proj_weight", in_proj_init, (3 * E, E))
+        self.in_proj_bias = self.param("self_attn_in_proj_bias", nn.initializers.zeros, (3 * E,)) if bias else None
+        self.out_proj_weight = self.param("self_attn_out_proj_weight", out_proj_init, (E, E))
+        self.out_proj_bias = self.param("self_attn_out_proj_bias", nn.initializers.zeros, (E,)) if bias else None
+        self.linear1_weight = self.param("linear1_weight", ff1_init, (FF, E))
+        self.linear1_bias = self.param("linear1_bias", nn.initializers.zeros, (FF,)) if bias else None
+        self.linear2_weight = self.param("linear2_weight", ff2_init, (E, FF))
+        self.linear2_bias = self.param("linear2_bias", nn.initializers.zeros, (E,)) if bias else None
+        self.norm1_weight = self.param("norm1_weight", nn.initializers.constant(init_norm_scale), (E,))
+        self.norm1_bias = self.param("norm1_bias", nn.initializers.zeros, (E,)) if bias else None
+        norm2_scale = init_norm_scale if self.postnorm_override is None else self.postnorm_override
+        self.norm2_weight = self.param("norm2_weight", nn.initializers.constant(norm2_scale), (E,))
+        self.norm2_bias = self.param("norm2_bias", nn.initializers.zeros, (E,)) if bias else None
+
+        if cfg.init_rezero_mode == "none":
+            self.scale1 = self.scale2 = None
+        elif cfg.init_rezero_mode == "perskip":
+            self.scale1 = self.param("scale1", nn.initializers.zeros, ())
+            self.scale2 = self.param("scale2", nn.initializers.zeros, ())
+        elif cfg.init_rezero_mode == "perlayer":
+            self.scale1 = self.param("scale1", nn.initializers.zeros, ())
+            self.scale2 = self.scale1
+        else:
+            raise ValueError(f"Invalid ReZero specification: {cfg.init_rezero_mode}")
+
+        self.act = get_activation(cfg.layer_activation)
+        self.precision = resolve_precision(cfg.matmul_precision)
+        self.attn_dropout = nn.Dropout(rate=cfg.layer_dropout)
+        self.dropout1 = nn.Dropout(rate=cfg.layer_dropout)
+        self.ff_dropout = nn.Dropout(rate=cfg.layer_dropout)
+        self.dropout2 = nn.Dropout(rate=cfg.layer_dropout)
+
+    # -- attention core ------------------------------------------------------
+
+    def _qkv(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        qkv = dense(x, self.in_proj_weight, self.in_proj_bias, precision=self.precision)  # (B,S,3E)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, S, E = q.shape
+        shape = (B, S, cfg.num_heads, cfg.head_dim)
+        return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+    def _attend(self, q, k, v, attn_bias, deterministic):
+        # q,k,v: (B,S[q|k],H,hd); attn_bias additive (Sq,Sk) broadcastable
+        cfg = self.cfg
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32, precision=self.precision)
+        scores = scores + attn_bias
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32, precision=self.precision)
+        B, Sq = out.shape[0], out.shape[1]
+        return out.reshape(B, Sq, cfg.hidden_dim)
+
+    def _sa_block(self, x, attn_bias, deterministic):
+        q, k, v = self._qkv(x)
+        out = self._attend(q, k, v, attn_bias, deterministic)
+        out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
+        out = self.dropout1(out, deterministic=deterministic)
+        if self.scale1 is not None:
+            out = out * self.scale1
+        return out
+
+    def _ff_block(self, x, deterministic):
+        h = self.act(dense(x, self.linear1_weight, self.linear1_bias, precision=self.precision))
+        h = self.ff_dropout(h, deterministic=deterministic)
+        h = dense(h, self.linear2_weight, self.linear2_bias, precision=self.precision)
+        h = self.dropout2(h, deterministic=deterministic)
+        if self.scale2 is not None:
+            h = h * self.scale2
+        return h
+
+    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.cfg.layer_norm_first:
+            x = x + self._sa_block(layer_norm(x, self.norm1_weight, self.norm1_bias), attn_bias, deterministic)
+            x = x + self._ff_block(layer_norm(x, self.norm2_weight, self.norm2_bias), deterministic)
+        else:
+            x = layer_norm(x + self._sa_block(x, attn_bias, deterministic), self.norm1_weight, self.norm1_bias)
+            x = layer_norm(x + self._ff_block(x, deterministic), self.norm2_weight, self.norm2_bias)
+        return x
+
+    def step(self, x: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray, pos: jnp.ndarray
+             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """KV-cached single-token step (inference only, no dropout).
+
+        x: (B,1,E) input at sequence position ``pos``; caches (B,Smax,H,hd).
+        Returns (out (B,1,E), k_cache, v_cache) with caches updated at pos.
+        """
+        cfg = self.cfg
+        if cfg.layer_norm_first:
+            h = layer_norm(x, self.norm1_weight, self.norm1_bias)
+        else:
+            h = x
+        q, k_new, v_new = self._qkv(h)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, pos, 0, 0))
+        Smax = k_cache.shape[1]
+        key_bias = jnp.where(jnp.arange(Smax)[None, :] <= pos, 0.0, NEG_INF)  # (1,Smax)
+        out = self._attend(q, k_cache, v_cache, key_bias, deterministic=True)
+        out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
+        if self.scale1 is not None:
+            out = out * self.scale1
+        if cfg.layer_norm_first:
+            x = x + out
+            x = x + self._ff_block(layer_norm(x, self.norm2_weight, self.norm2_bias), deterministic=True)
+        else:
+            x = layer_norm(x + out, self.norm1_weight, self.norm1_bias)
+            x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
+        return x, k_cache, v_cache
+
+    def prefill(self, x: jnp.ndarray, attn_bias: jnp.ndarray, k_cache: jnp.ndarray,
+                v_cache: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Multi-token forward that also fills the KV cache at positions [0, S)."""
+        cfg = self.cfg
+        S = x.shape[1]
+        if cfg.layer_norm_first:
+            h = layer_norm(x, self.norm1_weight, self.norm1_bias)
+        else:
+            h = x
+        q, k_new, v_new = self._qkv(h)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, 0, 0))
+        out = self._attend(q, k_new, v_new, attn_bias[:S, :S], deterministic=True)
+        out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
+        if self.scale1 is not None:
+            out = out * self.scale1
+        if cfg.layer_norm_first:
+            x = x + out
+            x = x + self._ff_block(layer_norm(x, self.norm2_weight, self.norm2_bias), deterministic=True)
+        else:
+            x = layer_norm(x + out, self.norm1_weight, self.norm1_bias)
+            x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
+        return x, k_cache, v_cache
+
+
+class Transformer(nn.Module):
+    """Encoder stack + optional final norm (ref embedding_decoder.py:280-409)."""
+
+    cfg: DecoderModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        factor = 1.0 / math.sqrt(cfg.hidden_dim)
+        postnorm_scale = factor if cfg.init_tfrm_unit_postnorm else 1.0
+        # Post-LN: the final layer's norm2 plays the postnorm role and its init
+        # is overridden to postnorm scale (ref embedding_decoder.py:406-407).
+        self.layers = [
+            TransformerLayer(
+                cfg=cfg, layer_index=i, name=f"layers_{i}",
+                postnorm_override=(postnorm_scale if (not cfg.layer_norm_first and
+                                                      i == cfg.num_layers - 1) else None),
+            )
+            for i in range(cfg.num_layers)
+        ]
+        if cfg.layer_norm_first:
+            self.norm_weight = self.param("norm_weight", nn.initializers.constant(postnorm_scale),
+                                          (cfg.hidden_dim,))
+            self.norm_bias = (self.param("norm_bias", nn.initializers.zeros, (cfg.hidden_dim,))
+                              if cfg.layer_bias else None)
+        else:
+            self.norm_weight = None
+            self.norm_bias = None
+
+    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for layer in self.layers:
+            x = layer(x, attn_bias, deterministic)
+        if self.norm_weight is not None:
+            x = layer_norm(x, self.norm_weight, self.norm_bias)
+        return x
+
+    def prefill(self, x, attn_bias, k_caches, v_caches):
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, k, v = layer.prefill(x, attn_bias, k_caches[i], v_caches[i])
+            new_k.append(k)
+            new_v.append(v)
+        if self.norm_weight is not None:
+            x = layer_norm(x, self.norm_weight, self.norm_bias)
+        return x, new_k, new_v
+
+    def step(self, x, k_caches, v_caches, pos):
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, k, v = layer.step(x, k_caches[i], v_caches[i], pos)
+            new_k.append(k)
+            new_v.append(v)
+        if self.norm_weight is not None:
+            x = layer_norm(x, self.norm_weight, self.norm_bias)
+        return x, new_k, new_v

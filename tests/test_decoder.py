@@ -1,0 +1,413 @@
+"""Tests for the object decoder: forward semantics, loss decomposition,
+KV-cached generation equivalence, guide masking, beam search, generate_all.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from novic_tpu.models import DecoderModelConfig, PrefixedIterDecoder, create_decoder
+from novic_tpu.models import generate as gen_mod
+
+
+def generate_greedy(model, params, embed, **kw):
+    fn = jax.jit(lambda p, e: gen_mod.generate_greedy(model, p, e, **kw))
+    return fn(params, embed)
+
+
+def generate_beam(model, params, embed, **kw):
+    fn = jax.jit(lambda p, e: gen_mod.generate_beam(model, p, e, **kw))
+    return fn(params, embed)
+
+
+def generate_all(model, params, embed, **kw):
+    return gen_mod.generate_all(model, params, embed, **kw)
+from novic_tpu.models.prefixed_iter import cross_entropy_elems, expand_target_padding
+
+V = 23          # compact vocab size
+CMAX = 7        # token length incl end
+F = 32          # embed dim
+E = 64          # hidden
+
+BASE_CFG = DecoderModelConfig(
+    embed_dim=F, vocab_size=V, token_length=CMAX,
+    hidden_dim=E, feedfwd_scale="1/4", num_layers=2, num_heads=4,
+    input_dropout=0.0, layer_dropout=0.0,
+    matmul_precision="highest",  # exact f32 so cached/uncached paths agree bitwise-closely
+)
+
+MODEL = PrefixedIterDecoder(cfg=BASE_CFG)
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("calc_loss", "calc_correct", "only_pred", "multi_first",
+                                   "have_guide"))
+def _apply(params, embed, target, padding, weight, guide, calc_loss=False,
+           calc_correct=False, only_pred=False, multi_first=False, have_guide=False):
+    return MODEL.apply({"params": params}, embed, target, padding, weight,
+                       calc_loss=calc_loss, calc_correct=calc_correct, only_pred=only_pred,
+                       guide_targets=guide if have_guide else None, multi_first=multi_first)
+
+
+def apply_model(params, embed, target, padding=None, weight=None, guide=None, **kw):
+    return _apply(params, embed, target, padding, weight, guide,
+                  have_guide=guide is not None, **kw)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = MODEL
+    rng = jax.random.PRNGKey(7)
+    embed = jax.random.normal(jax.random.PRNGKey(1), (2, F))
+    target = jnp.zeros((2, CMAX), dtype=jnp.int32)
+    params = jax.jit(model.init)({"params": rng}, embed, target)["params"]
+    return model, params
+
+
+def random_targets(key, B, C=CMAX, min_len=1):
+    """Random compact-token targets: content tokens in [1,V), end token, padding."""
+    k1, k2 = jax.random.split(key)
+    lengths = jax.random.randint(k1, (B,), min_len, C - 1)
+    toks = jax.random.randint(k2, (B, C), 1, V)
+    pos = jnp.arange(C)[None, :]
+    target = jnp.where(pos < lengths[:, None], toks, 0).astype(jnp.int32)
+    padding = pos > lengths[:, None]  # end token at pos == length is not padding
+    return np.asarray(target), np.asarray(padding)
+
+
+def unit_embeds(key, B):
+    e = jax.random.normal(key, (B, F))
+    return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Forward semantics
+# ---------------------------------------------------------------------------
+
+
+def test_forward_shapes_and_loss(model_and_params):
+    model, params = model_and_params
+    B = 4
+    embed = unit_embeds(jax.random.PRNGKey(2), B)
+    target, padding = random_targets(jax.random.PRNGKey(3), B)
+    logits, pad_out, loss_sum, loss_basis, correct = apply_model(
+        params, embed, jnp.asarray(target), jnp.asarray(padding),
+        calc_loss=True, calc_correct=True)
+    assert logits.shape == (B, CMAX, V)
+    assert pad_out.shape == (B, CMAX)
+    assert float(loss_basis) == (~padding).sum()
+    assert float(loss_sum) > 0
+    assert correct.shape == (B, CMAX)
+    # correct and padding are disjoint (ref embedding_decoder.py:137)
+    assert not np.logical_and(np.asarray(correct), np.asarray(pad_out)).any()
+
+
+def test_loss_sum_basis_combination(model_and_params):
+    """(sum1+sum2)/(basis1+basis2) == mean loss of the concatenated batch
+    (ref embedding_decoder.py:136)."""
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(4), 6)
+    target, padding = random_targets(jax.random.PRNGKey(5), 6)
+
+    def loss(e, t, p):
+        _, _, s, b, _ = apply_model(params, e, jnp.asarray(t), jnp.asarray(p), calc_loss=True)
+        return float(s), float(b)
+
+    s_all, b_all = loss(embed, target, padding)
+    s1, b1 = loss(embed[:2], target[:2], padding[:2])
+    s2, b2 = loss(embed[2:], target[2:], padding[2:])
+    assert np.isclose(s_all, s1 + s2, rtol=1e-5)
+    assert b_all == b1 + b2
+
+
+def test_weighted_loss(model_and_params):
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(6), 3)
+    target, padding = random_targets(jax.random.PRNGKey(7), 3)
+    w = jnp.asarray([1.0, 0.5, 0.0])
+    _, pad_out, s_w, b_w, _ = apply_model(
+        params, embed, jnp.asarray(target), jnp.asarray(padding), w, calc_loss=True)
+    # Zero-weight sample fully padded in output padding
+    assert np.asarray(pad_out)[2].all()
+    # Manual check
+    elems = []
+    for i in range(3):
+        _, _, s_i, b_i, _ = apply_model(
+            params, embed[i:i + 1], jnp.asarray(target[i:i + 1]),
+            jnp.asarray(padding[i:i + 1]), calc_loss=True)
+        elems.append((float(s_i), float(b_i)))
+    assert np.isclose(float(s_w), elems[0][0] + 0.5 * elems[1][0], rtol=1e-4)
+    assert np.isclose(float(b_w), elems[0][1] + 0.5 * elems[1][1], rtol=1e-6)
+
+
+def test_only_pred_matches_full(model_and_params):
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(8), 3)
+    target, padding = random_targets(jax.random.PRNGKey(9), 3)
+    full, _, _, _, _ = apply_model(params, embed, jnp.asarray(target), jnp.asarray(padding))
+    only, _, _, _, _ = apply_model(params, embed, jnp.asarray(target), jnp.asarray(padding),
+                                   only_pred=True)
+    np.testing.assert_allclose(np.asarray(full[:, -1:, :]), np.asarray(only), rtol=1e-5, atol=1e-5)
+
+
+def test_multi_target_equals_flat(model_and_params):
+    """BxMxC multi-target forward == flattened BM forward with repeated embeds."""
+    model, params = model_and_params
+    B, M = 2, 3
+    embed = unit_embeds(jax.random.PRNGKey(10), B)
+    target, padding = random_targets(jax.random.PRNGKey(11), B * M)
+    t3 = jnp.asarray(target).reshape(B, M, CMAX)
+    p3 = jnp.asarray(padding).reshape(B, M, CMAX)
+    w3 = jnp.abs(jax.random.normal(jax.random.PRNGKey(12), (B, M))) + 0.1
+
+    logits3, pad3, s3, b3, corr3 = apply_model(
+        params, embed, t3, p3, w3, calc_loss=True, calc_correct=True)
+    assert logits3.shape == (B, M, CMAX, V)
+
+    embed_flat = jnp.repeat(embed, M, axis=0)
+    logits_f, pad_f, s_f, b_f, corr_f = apply_model(
+        params, embed_flat, jnp.asarray(target), jnp.asarray(padding),
+        w3.reshape(-1), calc_loss=True, calc_correct=True)
+    np.testing.assert_allclose(np.asarray(logits3).reshape(B * M, CMAX, V),
+                               np.asarray(logits_f), rtol=2e-5, atol=2e-5)
+    assert np.isclose(float(s3), float(s_f), rtol=1e-5)
+    assert np.isclose(float(b3), float(b_f), rtol=1e-6)
+
+
+def test_multi_first_layout(model_and_params):
+    model, params = model_and_params
+    B, M = 2, 3
+    embed = unit_embeds(jax.random.PRNGKey(13), B)
+    target, padding = random_targets(jax.random.PRNGKey(14), B * M)
+    t_bm = jnp.asarray(target).reshape(B, M, CMAX)
+    p_bm = jnp.asarray(padding).reshape(B, M, CMAX)
+    t_mb = jnp.swapaxes(t_bm, 0, 1)
+    p_mb = jnp.swapaxes(p_bm, 0, 1)
+    l_bm, _, s_bm, b_bm, _ = apply_model(params, embed, t_bm, p_bm, calc_loss=True)
+    l_mb, _, s_mb, b_mb, _ = apply_model(params, embed, t_mb, p_mb, calc_loss=True,
+                                         multi_first=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(l_mb, 0, 1)), np.asarray(l_bm),
+                               rtol=2e-5, atol=2e-5)
+    assert np.isclose(float(s_bm), float(s_mb), rtol=1e-5)
+
+
+def test_expand_target_padding():
+    pad = np.array([[False, False, True, True, True],
+                    [True, True, True, True, True]])
+    # N=1: unchanged
+    out = np.asarray(expand_target_padding(jnp.asarray(pad), 4, 1))
+    np.testing.assert_array_equal(out, pad)
+    # N=2, P=4: padding_expand=4, padding_keep=4 → last token before padding
+    # also gets loss: concat(pad[:,0:1]x4, pad[:, :4])[-5:]
+    out = np.asarray(expand_target_padding(jnp.asarray(pad), 4, 2))
+    expected = np.concatenate([np.repeat(pad[:, 0:1], 4, axis=1), pad[:, :4]], axis=1)[:, -5:]
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_guide_restricted_correct(model_and_params):
+    """Guide-masked argmax restricts predictions to prefix-matching guide tokens."""
+    model, params = model_and_params
+    guides = np.zeros((3, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :3] = [5, 7, 0]
+    guides[2, :2] = [9, 0]
+    embed = unit_embeds(jax.random.PRNGKey(15), 2)
+    target = np.zeros((2, CMAX), dtype=np.int32)
+    target[0, :3] = [5, 6, 0]
+    target[1, :2] = [9, 0]
+    padding = np.zeros((2, CMAX), dtype=bool)
+    padding[0, 3:] = True
+    padding[1, 2:] = True
+    _, _, _, _, correct = apply_model(
+        params, embed, jnp.asarray(target), jnp.asarray(padding),
+        guide=jnp.asarray(guides), calc_correct=True)
+    assert correct.shape == (2, CMAX)
+    # With guides, position-0 prediction must be one of {5, 9}; correctness of
+    # sample 0 position 0 then equals (pred == 5). Just sanity: no crash + disjoint.
+    assert not np.logical_and(np.asarray(correct), padding).any()
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+
+def reference_style_greedy(model, params, embed, guide_targets=None):
+    """No-KV-cache greedy loop mimicking ref embedding_decoder.py:779-850, for
+    equivalence testing of the cached path."""
+    B = embed.shape[0]
+    G = CMAX - 1
+    target = np.zeros((B, G), dtype=np.int32)
+    padding = np.zeros((B, G), dtype=bool)
+    sample_mask = np.zeros((B,), dtype=bool)
+    guide_dead = np.zeros((B, guide_targets.shape[0]), dtype=bool) if guide_targets is not None else None
+    logits_all = []
+    for C in range(1, G + 1):
+        t_slice = jnp.asarray(target[:, :C])
+        if C > 1:
+            padding[:, C - 1] = sample_mask
+        logits, _, _, _, _ = apply_model(params, embed, t_slice, only_pred=True)
+        logits = np.asarray(logits[:, 0, :])
+        logits_all.append(logits)
+        if guide_targets is None:
+            if C <= 1:
+                tok = logits[:, 1:].argmax(axis=1) + 1
+            else:
+                tok = logits.argmax(axis=1)
+        else:
+            gcol = guide_targets[:, C - 1]
+            score = np.full((B, V + 1), -1e30, dtype=np.float32)
+            idx = np.where(guide_dead, V, np.broadcast_to(gcol[None, :], guide_dead.shape))
+            np.maximum.at(score, (np.arange(B)[:, None], idx), 0.0)
+            tok = (score[:, :V] + logits).argmax(axis=1)
+            guide_dead |= tok[:, None] != gcol[None, :]
+        target[:, C - 1] = tok
+        sample_mask |= tok == 0
+        if sample_mask.all():
+            break
+    target[padding] = 0
+    return target, padding, np.stack(logits_all, axis=1)
+
+
+def test_greedy_kv_cache_equivalence(model_and_params):
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(16), 5)
+    tgt, pad, logits_nc = reference_style_greedy(model, params, embed)
+    tgt_kv, pad_kv, logits_kv, _, _, _ = generate_greedy(
+        model, params, embed, collect_logits=True)
+    T = logits_nc.shape[1]
+    np.testing.assert_array_equal(np.asarray(tgt_kv)[:, :T] * ~np.asarray(pad_kv)[:, :T],
+                                  tgt * ~pad)
+    # Logits match at all non-padded positions
+    valid = ~pad
+    np.testing.assert_allclose(np.asarray(logits_kv)[:, :T][valid], logits_nc[valid],
+                               rtol=2e-4, atol=2e-4)
+    # Trailing columns (if any) are all padding
+    assert np.asarray(pad_kv)[:, T:].all() or T == CMAX - 1
+
+
+def test_greedy_guided(model_and_params):
+    model, params = model_and_params
+    guides = np.zeros((4, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    embed = unit_embeds(jax.random.PRNGKey(17), 6)
+    tgt, pad, _ = reference_style_greedy(model, params, embed, guide_targets=guides)
+    tgt_kv, pad_kv, _, _, _, _ = generate_greedy(model, params, embed,
+                                                 guide_targets=jnp.asarray(guides))
+    T = tgt.shape[1]
+    np.testing.assert_array_equal(np.asarray(tgt_kv)[:, :T], tgt)
+    # Every generated sequence must be exactly a guide target (prefix-complete)
+    guide_set = {tuple(g[:CMAX - 1]) for g in guides.tolist()}
+    for row in np.asarray(tgt_kv).tolist():
+        assert tuple(row) in guide_set
+
+
+def test_greedy_scores(model_and_params):
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(18), 4)
+    tgt, pad, logits, s, b, score = generate_greedy(
+        model, params, embed, calc_loss=True, temperature=2.0, length_alpha=0.5)
+    assert score.shape == (4,)
+    assert float(b) == (~np.asarray(pad)).sum()
+    # Manual score check for sample 0
+    lp = jax.nn.log_softmax(np.asarray(logits[0]) / 2.0, axis=-1)
+    t0 = np.asarray(tgt[0])
+    p0 = np.asarray(pad[0])
+    manual = sum(lp[i, t0[i]] for i in range(len(t0)) if not p0[i])
+    n = max((~p0).sum(), 1)
+    manual *= n ** -0.5
+    assert np.isclose(float(score[0]), manual, rtol=1e-4)
+
+
+def test_beam_h1_matches_greedy(model_and_params):
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(19), 5)
+    tgt_g, pad_g, _, _, _, _ = generate_greedy(model, params, embed)
+    tgt_b, pad_b, score_b = generate_beam(model, params, embed, topk=1)
+    np.testing.assert_array_equal(np.asarray(tgt_b)[:, 0, :], np.asarray(tgt_g))
+    assert score_b.shape == (5, 1)
+
+
+def test_beam_descending_scores(model_and_params):
+    model, params = model_and_params
+    embed = unit_embeds(jax.random.PRNGKey(20), 3)
+    tgt, pad, score = generate_beam(model, params, embed, topk=4)
+    s = np.asarray(score)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+    # Beam candidates are distinct sequences per sample (generically)
+    t = np.asarray(tgt)
+    for b in range(t.shape[0]):
+        rows = {tuple(r) for r in t[b].tolist()}
+        assert len(rows) >= 2
+
+
+def test_beam_guided(model_and_params):
+    model, params = model_and_params
+    guides = np.zeros((4, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    embed = unit_embeds(jax.random.PRNGKey(21), 3)
+    tgt, pad, score = generate_beam(model, params, embed, topk=3,
+                                    guide_targets=jnp.asarray(guides), guide_renorm=True)
+    guide_set = {tuple(g[:CMAX - 1]) for g in guides.tolist()}
+    t = np.asarray(tgt)
+    s = np.asarray(score)
+    for b in range(t.shape[0]):
+        for h in range(t.shape[1]):
+            if s[b, h] > -1e29:  # valid candidates only
+                assert tuple(t[b, h].tolist()) in guide_set
+
+
+def test_generate_all_matches_teacher_forcing(model_and_params):
+    model, params = model_and_params
+    guides = np.zeros((5, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    guides[4, :3] = [3, 3, 0]
+    embed = unit_embeds(jax.random.PRNGKey(22), 2)
+    tgt, pad, scores = generate_all(model, params, embed, topk=5,
+                                    guide_targets=guides, chunk=2)
+    # Manual: teacher-force each guide target, sum non-padded log-probs
+    C = tgt.shape[2]
+    for b in range(2):
+        manual = []
+        for w in range(5):
+            g = guides[w:w + 1, :C]
+            logits, _, _, _, _ = apply_model(params, embed[b:b + 1], jnp.asarray(g))
+            lp = np.asarray(jax.nn.log_softmax(logits[0], axis=-1))
+            content = [i for i in range(C) if not (i > 0 and g[0, i - 1] == 0)]
+            manual.append(sum(lp[i, g[0, i]] for i in content))
+        manual = np.asarray(manual)
+        order = np.argsort(-manual)
+        got = np.asarray(scores[b])
+        np.testing.assert_allclose(got, manual[order], rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(tgt[b]), guides[order][:, :C])
+
+
+def test_generate_all_beam_consistency(model_and_params):
+    """Guided beam with renorm and generate_all agree on the best guide target."""
+    model, params = model_and_params
+    guides = np.zeros((4, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    embed = unit_embeds(jax.random.PRNGKey(23), 4)
+    t_all, _, s_all = generate_all(model, params, embed, topk=4, guide_targets=guides,
+                                   guide_renorm=True, chunk=4)
+    t_beam, _, s_beam = generate_beam(model, params, embed, topk=4,
+                                      guide_targets=jnp.asarray(guides), guide_renorm=True)
+    # Top-1 of generate_all == top-1 of guided-renorm beam (beam is exact here
+    # since width >= number of guides)
+    G = CMAX - 1
+    np.testing.assert_array_equal(np.asarray(t_all)[:, 0, :G],
+                                  np.asarray(t_beam)[:, 0, :t_all.shape[2]][:, :G])
