@@ -1,0 +1,164 @@
+"""HF/torch CLIP-family checkpoint → novic_tpu tower params conversion.
+
+The reference loads weights through the clip/open_clip/transformers packages
+(reference embedders.py:499-505,680-689,844-856); we convert HF state dicts
+into our tower parameter pytrees once and save them as .npz. Conversion is
+gated on torch availability (torch is only needed at conversion time, never
+in the serving path).
+
+Verified by tests/test_vit_parity.py against transformers CLIPModel/SiglipModel
+with locally constructed random weights (no downloads).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _block_params(sd: dict, prefix: str) -> dict:
+    """One HF CLIP/SigLIP encoder layer → TowerBlock params."""
+    return {
+        "norm1_weight": _np(sd[f"{prefix}.layer_norm1.weight"]),
+        "norm1_bias": _np(sd[f"{prefix}.layer_norm1.bias"]),
+        "norm2_weight": _np(sd[f"{prefix}.layer_norm2.weight"]),
+        "norm2_bias": _np(sd[f"{prefix}.layer_norm2.bias"]),
+        "fc1_weight": _np(sd[f"{prefix}.mlp.fc1.weight"]),
+        "fc1_bias": _np(sd[f"{prefix}.mlp.fc1.bias"]),
+        "fc2_weight": _np(sd[f"{prefix}.mlp.fc2.weight"]),
+        "fc2_bias": _np(sd[f"{prefix}.mlp.fc2.bias"]),
+        "attn": {
+            "q_proj_weight": _np(sd[f"{prefix}.self_attn.q_proj.weight"]),
+            "q_proj_bias": _np(sd[f"{prefix}.self_attn.q_proj.bias"]),
+            "k_proj_weight": _np(sd[f"{prefix}.self_attn.k_proj.weight"]),
+            "k_proj_bias": _np(sd[f"{prefix}.self_attn.k_proj.bias"]),
+            "v_proj_weight": _np(sd[f"{prefix}.self_attn.v_proj.weight"]),
+            "v_proj_bias": _np(sd[f"{prefix}.self_attn.v_proj.bias"]),
+            "out_proj_weight": _np(sd[f"{prefix}.self_attn.out_proj.weight"]),
+            "out_proj_bias": _np(sd[f"{prefix}.self_attn.out_proj.bias"]),
+        },
+    }
+
+
+def convert_clip_vision(state_dict: dict, num_layers: int) -> dict:
+    """HF CLIPVisionModel(+projection) state dict → VisionTransformer params."""
+    sd = state_dict
+    conv_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])  # (E,3,P,P)
+    E = conv_w.shape[0]
+    params: dict[str, Any] = {
+        # conv kernel → matmul over (ph, pw, c)-ordered patch vectors
+        "patch_weight": conv_w.transpose(0, 2, 3, 1).reshape(E, -1),
+        "class_embedding": _np(sd["vision_model.embeddings.class_embedding"]).reshape(-1),
+        "pos_embedding": _np(sd["vision_model.embeddings.position_embedding.weight"]),
+        "pre_ln_weight": _np(sd["vision_model.pre_layrnorm.weight"]),
+        "pre_ln_bias": _np(sd["vision_model.pre_layrnorm.bias"]),
+        "post_ln_weight": _np(sd["vision_model.post_layernorm.weight"]),
+        "post_ln_bias": _np(sd["vision_model.post_layernorm.bias"]),
+        "proj_weight": _np(sd["visual_projection.weight"]),
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _block_params(sd, f"vision_model.encoder.layers.{i}")
+    return params
+
+
+def convert_clip_text(state_dict: dict, num_layers: int) -> dict:
+    sd = state_dict
+    params: dict[str, Any] = {
+        "token_embedding": _np(sd["text_model.embeddings.token_embedding.weight"]),
+        "pos_embedding": _np(sd["text_model.embeddings.position_embedding.weight"]),
+        "final_ln_weight": _np(sd["text_model.final_layer_norm.weight"]),
+        "final_ln_bias": _np(sd["text_model.final_layer_norm.bias"]),
+        "proj_weight": _np(sd["text_projection.weight"]),
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _block_params(sd, f"text_model.encoder.layers.{i}")
+    return params
+
+
+def convert_siglip_vision(state_dict: dict, num_layers: int) -> dict:
+    sd = state_dict
+    conv_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+    E = conv_w.shape[0]
+    in_proj_w = _np(sd["vision_model.head.attention.in_proj_weight"])  # (3E, E)
+    in_proj_b = _np(sd["vision_model.head.attention.in_proj_bias"])
+    params: dict[str, Any] = {
+        "patch_weight": conv_w.transpose(0, 2, 3, 1).reshape(E, -1),
+        "patch_bias": _np(sd["vision_model.embeddings.patch_embedding.bias"]),
+        "pos_embedding": _np(sd["vision_model.embeddings.position_embedding.weight"]),
+        "post_ln_weight": _np(sd["vision_model.post_layernorm.weight"]),
+        "post_ln_bias": _np(sd["vision_model.post_layernorm.bias"]),
+        "map_probe": _np(sd["vision_model.head.probe"]),
+        "map_attn": {
+            "q_proj_weight": in_proj_w[:E],
+            "q_proj_bias": in_proj_b[:E],
+            "k_proj_weight": in_proj_w[E:2 * E],
+            "k_proj_bias": in_proj_b[E:2 * E],
+            "v_proj_weight": in_proj_w[2 * E:],
+            "v_proj_bias": in_proj_b[2 * E:],
+            "out_proj_weight": _np(sd["vision_model.head.attention.out_proj.weight"]),
+            "out_proj_bias": _np(sd["vision_model.head.attention.out_proj.bias"]),
+        },
+        "map_ln_weight": _np(sd["vision_model.head.layernorm.weight"]),
+        "map_ln_bias": _np(sd["vision_model.head.layernorm.bias"]),
+        "map_fc1_weight": _np(sd["vision_model.head.mlp.fc1.weight"]),
+        "map_fc1_bias": _np(sd["vision_model.head.mlp.fc1.bias"]),
+        "map_fc2_weight": _np(sd["vision_model.head.mlp.fc2.weight"]),
+        "map_fc2_bias": _np(sd["vision_model.head.mlp.fc2.bias"]),
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _block_params(sd, f"vision_model.encoder.layers.{i}")
+    return params
+
+
+def convert_siglip_text(state_dict: dict, num_layers: int) -> dict:
+    sd = state_dict
+    params: dict[str, Any] = {
+        "token_embedding": _np(sd["text_model.embeddings.token_embedding.weight"]),
+        "pos_embedding": _np(sd["text_model.embeddings.position_embedding.weight"]),
+        "final_ln_weight": _np(sd["text_model.final_layer_norm.weight"]),
+        "final_ln_bias": _np(sd["text_model.final_layer_norm.bias"]),
+        "proj_weight": _np(sd["text_model.head.weight"]),
+        "proj_bias": _np(sd["text_model.head.bias"]),
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _block_params(sd, f"text_model.encoder.layers.{i}")
+    return params
+
+
+def convert_hf_model(model, model_type: str) -> tuple[dict, dict]:
+    """Full HF CLIPModel/SiglipModel → (vision_params, text_params)."""
+    sd = model.state_dict()
+    if model_type == "clip":
+        n_v = model.config.vision_config.num_hidden_layers
+        n_t = model.config.text_config.num_hidden_layers
+        return convert_clip_vision(sd, n_v), convert_clip_text(sd, n_t)
+    if model_type == "siglip":
+        n_v = model.config.vision_config.num_hidden_layers
+        n_t = model.config.text_config.num_hidden_layers
+        return convert_siglip_vision(sd, n_v), convert_siglip_text(sd, n_t)
+    raise ValueError(f"Unsupported model type: {model_type}")
+
+
+def save_params_npz(path: str, vision_params: dict, text_params: dict):
+    """Flatten and save converted tower params to a single .npz."""
+    from novic_tpu.utils.misc import flatten_dict
+
+    flat = {}
+    for name, tree in (("vision", vision_params), ("text", text_params)):
+        for k, v in flatten_dict(tree).items():
+            flat[f"{name}.{k}"] = v
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> tuple[dict, dict]:
+    from novic_tpu.utils.misc import unflatten_dict
+
+    data = np.load(path)
+    flat_v = {k[len("vision."):]: data[k] for k in data.files if k.startswith("vision.")}
+    flat_t = {k[len("text."):]: data[k] for k in data.files if k.startswith("text.")}
+    return unflatten_dict(flat_v), unflatten_dict(flat_t)

@@ -1,0 +1,97 @@
+"""Known CLIP-family model architectures (the reference's supported backends).
+
+Architecture hyperparameters for the embedder specs used by the reference
+(reference config/train.yaml:90-138 lists the supported embedder specs with
+embed dims; README.md:295-301 the released-checkpoint backbones). Weights are
+converted from HF checkpoints via novic_tpu.embedders.convert; architectures
+here let us build the exact compute graph (and benchmark it at speed-of-light)
+even before weights are available on disk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from novic_tpu.embedders.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
+    SIGLIP_MEAN,
+    SIGLIP_STD,
+    PreprocessConfig,
+)
+from novic_tpu.embedders.vit import TextTowerConfig, VisionTowerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedderArch:
+    vision: VisionTowerConfig
+    text: TextTowerConfig
+    preprocess: PreprocessConfig
+    tokenizer: str       # clip_bpe | sentencepiece | hf:<id>
+    family: str          # clip | siglip
+
+
+def _clip(image_size, patch, v_width, v_layers, v_heads, t_width, t_layers, t_heads,
+          embed_dim, act="quick_gelu", vocab=49408, context=77):
+    return EmbedderArch(
+        vision=VisionTowerConfig(image_size=image_size, patch_size=patch, width=v_width,
+                                 layers=v_layers, heads=v_heads, embed_dim=embed_dim, act=act,
+                                 use_class_token=True, patch_bias=False, pre_ln=True, pool="cls"),
+        text=TextTowerConfig(context_length=context, vocab_size=vocab, width=t_width,
+                             layers=t_layers, heads=t_heads, embed_dim=embed_dim, act=act,
+                             causal=True, pool="argmax", proj_bias=False),
+        preprocess=PreprocessConfig(size=image_size, resize_mode="shortest",
+                                    mean=CLIP_MEAN, std=CLIP_STD),
+        tokenizer="clip_bpe",
+        family="clip",
+    )
+
+
+def _siglip(image_size, patch, width, layers, heads, mlp_dim, embed_dim,
+            vocab=32000, context=64):
+    ratio = mlp_dim / width
+    return EmbedderArch(
+        vision=VisionTowerConfig(image_size=image_size, patch_size=patch, width=width,
+                                 layers=layers, heads=heads, mlp_ratio=ratio,
+                                 embed_dim=embed_dim, act="gelu_tanh", use_class_token=False,
+                                 patch_bias=True, pre_ln=False, pool="map",
+                                 layer_norm_eps=1e-6),
+        text=TextTowerConfig(context_length=context, vocab_size=vocab, width=width,
+                             layers=layers, heads=heads, mlp_ratio=ratio, embed_dim=embed_dim,
+                             act="gelu_tanh", causal=False, pool="last", proj_bias=True,
+                             layer_norm_eps=1e-6),
+        preprocess=PreprocessConfig(size=image_size, resize_mode="squash",
+                                    mean=SIGLIP_MEAN, std=SIGLIP_STD),
+        tokenizer="sentencepiece",
+        family="siglip",
+    )
+
+
+REGISTRY: dict[str, EmbedderArch] = {
+    # OpenAI CLIP (ref embedders.py:442-452 EMBED_DIM table)
+    "openai:ViT-B/32": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512),
+    "openai:ViT-B/16": _clip(224, 16, 768, 12, 12, 512, 12, 8, 512),
+    "openai:ViT-L/14": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768),
+    "openai:ViT-L/14@336px": _clip(336, 14, 1024, 24, 16, 768, 12, 12, 768),
+    # OpenCLIP SigLIP family (the main released backbones, ref README.md:295-301)
+    "openclip:timm/ViT-B-16-SigLIP": _siglip(224, 16, 768, 12, 12, 3072, 768),
+    "openclip:timm/ViT-B-16-SigLIP-384": _siglip(384, 16, 768, 12, 12, 3072, 768),
+    "openclip:timm/ViT-L-16-SigLIP-256": _siglip(256, 16, 1024, 24, 16, 4096, 1024),
+    "openclip:timm/ViT-SO400M-14-SigLIP": _siglip(224, 14, 1152, 27, 16, 4304, 1152, context=16),
+    "openclip:timm/ViT-SO400M-14-SigLIP-384": _siglip(384, 14, 1152, 27, 16, 4304, 1152, context=64),
+    # DFN5B CLIP-H (agreement-target backbone, ref README.md:299-300)
+    "openclip:apple/DFN5B-CLIP-ViT-H-14": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
+    "openclip:apple/DFN5B-CLIP-ViT-H-14-378": _clip(378, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
+    # LAION H-14 via transformers backend (ref config/train.yaml examples)
+    "transformers:laion/CLIP-ViT-H-14-laion2B-s32B-b79K": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
+    "transformers:openai/clip-vit-base-patch32": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512),
+    "transformers:openai/clip-vit-large-patch14": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768),
+}
+
+
+def lookup(spec: str) -> EmbedderArch:
+    if spec not in REGISTRY:
+        raise ValueError(
+            f"Unknown embedder spec '{spec}'. Known: {sorted(REGISTRY)} "
+            f"(add new architectures to novic_tpu/embedders/registry.py)")
+    return REGISTRY[spec]
