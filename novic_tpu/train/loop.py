@@ -1,0 +1,251 @@
+"""Chunked training loop with checkpoint policy and resume.
+
+Semantics of the reference training loop (reference train.py:977-1479):
+training proceeds in chunks of ``chunk_batches`` batches (chunk size =
+num_valid_targets * chunk_scale samples quantized to batch size,
+train.py:990); LR schedule advances per chunk; EWA loss/top-1 tracked with a
+half-life in chunks; checkpoints saved every save_every_max chunks, or after
+save_every_min chunks once EWA top-1 ≥ save_top1_min, has plateaued
+(< save_top1_delta gain) and is a new max (train.py:1349-1361); resume
+restores the full optimizer/scheduler/EWA/counter state.
+
+TPU-first: one jitted data-parallel step per batch (see train/step.py); the
+host loop only does bookkeeping, LR schedule, prefetching and checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from novic_tpu.data.grad_accum import GradAccum
+from novic_tpu.data.noise import EmbeddingNoise
+from novic_tpu.train.checkpoint import checkpoint_dir_and_name, save_checkpoint
+from novic_tpu.train.optim import create_optimizer, lr_schedule_per_chunk
+from novic_tpu.train.step import EwaMetrics, TrainState, create_train_state, make_train_step
+from novic_tpu.utils.logger import log
+from novic_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    """Static loop configuration (ref train.py TrainLoopConfig)."""
+
+    chunk_batches: int          # batches per chunk
+    chunk_samples: int          # samples per chunk
+    epoch_batches: int          # batches per epoch
+    max_chunks: int             # total chunks to train
+    batch_size: int
+    accum_size: int = 1
+    gradient_clip: float = 1.0
+    loss_ewa_halflife: float = 4.0
+    save_every_min: int = 12
+    save_every_max: int = 48
+    save_top1_min: float = 0.95
+    save_top1_delta: float = 0.005
+    init_lr: float = 1.5e-3
+    final_lr: float = 0.0
+    lr_scheduler: str = "cosine"
+    lr_warmup: int = 0
+
+
+@dataclasses.dataclass
+class TrainLoopState:
+    """Mutable loop state (ref train.py TrainLoopState); checkpointed for resume."""
+
+    epoch_id: int = 1
+    chunk_id: int = 1
+    batch_id: int = 1
+    sample_id: int = 1
+    epoch_batches_left: int = -1
+    saved_num: int = 0
+    saved_chunk_id: int = 0
+    saved_ewa_train_top1_max: float = 0.0
+    ewa_train_top1_last: float = 0.0
+    allow_save_delta: bool = False
+    rng_seed: int = 0
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "TrainLoopState":
+        return TrainLoopState(**d)
+
+
+def compute_chunk_batches(num_valid_targets: int, chunk_scale: float, batch_size: int) -> int:
+    """chunk_batches = ceil(num_valid_targets * chunk_scale / batch_size)
+    (ref train.py:990)."""
+    return max(int(math.ceil(num_valid_targets * chunk_scale / batch_size)), 1)
+
+
+def train(
+    *,
+    model,
+    params,
+    dataset,                     # configured EmbeddingDataset (loaded() context held by caller or here)
+    loader,                      # batch loader over the dataset
+    loader_info,
+    C: TrainLoopConfig,
+    S: Optional[TrainLoopState] = None,
+    noise: Optional[EmbeddingNoise] = None,
+    mean_shift: Optional[np.ndarray] = None,
+    multi_first: bool = False,
+    beta1: float = 0.9,
+    beta2: float = 0.95,
+    weight_decay: float = 0.1,
+    weight_decay_1d: bool = False,
+    opt_state_arrays: Optional[Any] = None,   # resume: restored optimizer state
+    metrics: Optional[MetricsLogger] = None,
+    save_fn=None,                # callable(chunk_id, state, S) -> path, or None
+    mesh=None,                   # optional jax Mesh for data parallelism
+):
+    """Run the training loop; returns (final TrainState, TrainLoopState, EWA metrics)."""
+    S = S or TrainLoopState()
+    tx = create_optimizer(beta1=beta1, beta2=beta2, weight_decay=weight_decay,
+                          weight_decay_1d=weight_decay_1d, gradient_clip=C.gradient_clip)
+    state = create_train_state(params, tx)
+    if opt_state_arrays is not None:
+        state = restore_opt_state(state, opt_state_arrays)
+
+    in_shardings = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, replicated)
+        in_shardings = (replicated,
+                        tuple(sharded for _ in range(4)),
+                        None, None)
+
+    step = make_train_step(model, tx, noise=noise, mean_shift=mean_shift,
+                           gradient_clip=C.gradient_clip, accum_steps=C.accum_size,
+                           multi_first=multi_first,
+                           in_shardings=in_shardings)
+
+    schedule = lr_schedule_per_chunk(C.init_lr, C.final_lr, C.lr_scheduler, C.lr_warmup,
+                                     C.max_chunks, start_chunk=S.chunk_id)
+    ewa = EwaMetrics.create(C.loss_ewa_halflife, C.chunk_batches)
+    rng = jax.random.PRNGKey(S.rng_seed)
+
+    if S.epoch_batches_left < 0:
+        S.epoch_batches_left = C.epoch_batches
+    elif S.epoch_batches_left == 0:
+        S.epoch_batches_left = C.epoch_batches
+        S.epoch_id += 1
+
+    stop_training = S.chunk_id >= C.max_chunks + 1
+    grad_norms: list[float] = []
+    pending = None  # one-step delayed metrics fetch to overlap host/device
+    start_time = time.perf_counter()
+    chunk_start = start_time
+
+    def consume(pending_metrics):
+        m = jax.tree.map(np.asarray, pending_metrics)
+        ewa.update(float(m["loss_sum"]), float(m["loss_basis"]),
+                   float(m["correct"]), float(m["tokens"]))
+        grad_norms.append(float(m["grad_norm"]))
+
+    while not stop_training:
+        log.info("-" * 60)
+        log.info(f"Epoch {S.epoch_id} = Batch {S.batch_id} = Sample {S.sample_id}")
+
+        for batch in loader:
+            chunk_batch_id = (S.batch_id - 1) % C.chunk_batches
+            if chunk_batch_id == 0:
+                log.info(f"Chunk {S.chunk_id} = Batch {S.batch_id} = Sample {S.sample_id}")
+                chunk_start = time.perf_counter()
+
+            lr = schedule(S.chunk_id)
+            rng, k = jax.random.split(rng)
+            embed, target, mask, weight = batch
+            batch_tuple = (np.ascontiguousarray(embed, dtype=np.float32),
+                           np.ascontiguousarray(target),
+                           None if mask is None else np.ascontiguousarray(mask),
+                           None if weight is None else np.ascontiguousarray(weight, dtype=np.float32))
+            state, m = step(state, batch_tuple, lr, k)
+            if pending is not None:
+                consume(pending)
+            pending = m
+
+            batch_samples = embed.shape[0]
+            S.sample_id += batch_samples
+            S.batch_id += 1
+            S.epoch_batches_left -= 1
+
+            if chunk_batch_id == C.chunk_batches - 1:
+                if pending is not None:
+                    consume(pending)
+                    pending = None
+                chunk_time = time.perf_counter() - chunk_start
+                gns = np.asarray(grad_norms) if grad_norms else np.zeros(1)
+                log.info(
+                    f"Trained chunk {S.chunk_id} in {chunk_time:.1f}s at "
+                    f"{C.chunk_samples / max(chunk_time, 1e-9):.0f} noun/s: lr={lr:.2e}, "
+                    f"loss={ewa.loss:.3e}, top1={ewa.top1:.3%} "
+                    f"(grad norm {gns.min():.3g}..{gns.max():.3g})")
+                if metrics:
+                    metrics.log(dict(chunk=S.chunk_id, batch=S.batch_id - 1,
+                                     sample=S.sample_id - 1, lr=lr, loss=ewa.loss,
+                                     top1=ewa.top1 * 100, top1_max=ewa.top1_max * 100,
+                                     chunk_time=chunk_time,
+                                     grad_norm_min=float(gns.min()),
+                                     grad_norm_mean=float(gns.mean()),
+                                     grad_norm_max=float(gns.max()),
+                                     saved_num=S.saved_num))
+                grad_norms.clear()
+
+                S.chunk_id += 1
+                if S.chunk_id >= C.max_chunks + 1:
+                    stop_training = True
+
+                # Checkpoint policy (ref train.py:1349-1361)
+                save_chunk_id = S.chunk_id - 1
+                chunks_since_save = save_chunk_id - S.saved_chunk_id
+                if ewa.top1 >= C.save_top1_min and ewa.top1 - S.ewa_train_top1_last <= C.save_top1_delta:
+                    S.allow_save_delta = True
+                S.ewa_train_top1_last = ewa.top1
+                should_save = stop_training or chunks_since_save >= C.save_every_max or (
+                    chunks_since_save >= C.save_every_min and ewa.top1 >= C.save_top1_min
+                    and S.allow_save_delta and ewa.top1 >= S.saved_ewa_train_top1_max)
+                if should_save and save_fn is not None:
+                    S.saved_num += 1
+                    S.saved_chunk_id = save_chunk_id
+                    S.saved_ewa_train_top1_max = max(S.saved_ewa_train_top1_max, ewa.top1)
+                    path = save_fn(save_chunk_id, state, S)
+                    log.info(f"Saved checkpoint: {path}")
+
+                if stop_training:
+                    break
+
+            if S.epoch_batches_left == 0:
+                break
+
+        if S.epoch_batches_left == 0:
+            S.epoch_batches_left = C.epoch_batches
+            S.epoch_id += 1
+
+    if pending is not None:
+        consume(pending)
+    elapsed = time.perf_counter() - start_time
+    log.info(f"Trained {S.chunk_id - 1} chunks in {elapsed:.1f}s "
+             f"({S.batch_id - 1} batches = {S.sample_id - 1} samples)")
+    return state, S, ewa
+
+
+def extract_opt_state_arrays(state: TrainState):
+    """Optimizer state → a plain array pytree for checkpointing."""
+    return jax.tree.map(np.asarray, state.opt_state)
+
+
+def restore_opt_state(state: TrainState, arrays) -> TrainState:
+    """Restore the optimizer state structure from checkpointed arrays."""
+    flat_new = jax.tree.leaves(arrays)
+    treedef = jax.tree.structure(state.opt_state)
+    return state.replace(opt_state=jax.tree.unflatten(treedef, flat_new))

@@ -18,13 +18,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin force-appends itself to jax_platforms regardless of the
+# env var; override it so tests run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     devices = jax.devices()
     assert len(devices) >= 8, f"Expected >=8 virtual CPU devices, got {len(devices)}"
     return devices

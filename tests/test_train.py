@@ -1,0 +1,158 @@
+"""Training loop integration: loss decreases on a synthetic cache over a DP
+mesh; checkpoint save/load and reference-format interop round-trips.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from novic_tpu.data.cache import CacheExpectation, EmbeddingCache, EmbeddingCacheWriter
+from novic_tpu.data.noise import EmbeddingNoise
+from novic_tpu.models import DecoderModelConfig, PrefixedIterDecoder, create_decoder
+from novic_tpu.parallel.mesh import create_mesh
+from novic_tpu.text.simple import make_test_tokenizer
+from novic_tpu.text.target import TargetTokenizer, create_target_config
+from novic_tpu.train.checkpoint import (
+    load_checkpoint,
+    params_to_torch_state_dict,
+    save_checkpoint,
+    torch_state_dict_to_params,
+)
+from novic_tpu.train.loop import TrainLoopConfig, TrainLoopState, compute_chunk_batches, train
+
+NOUNS = ["dog", "cat", "fire truck", "sea lion", "tree", "car", "hot dog", "apple"]
+F = 32
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train")
+    tok = make_test_tokenizer(NOUNS)
+    tc = create_target_config(tok, NOUNS, with_start_token=False, with_end_token=True,
+                              compact_ids=True, fixed_token_length=False,
+                              auto_fixed_token_length=True, use_masks=True)
+    tt = TargetTokenizer(tok, tc)
+
+    # Synthetic "text embeddings": a deterministic direction per noun + jitter,
+    # so the mapping embedding → noun is learnable.
+    rng = np.random.default_rng(0)
+    directions = rng.normal(size=(len(NOUNS), F)).astype(np.float32)
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    N = 512
+    noun_idx = rng.integers(0, len(NOUNS), size=N)
+    embeds = directions[noun_idx] + 0.05 * rng.normal(size=(N, F)).astype(np.float32)
+    embeds /= np.linalg.norm(embeds, axis=1, keepdims=True)
+    noun_ids = (noun_idx + 1).astype(np.int32).reshape(N, 1)
+
+    path = str(tmp / "train_cache.bin")
+    with EmbeddingCacheWriter(path, num_embed=N, embed_dim=F, target_tokenizer=tt,
+                              target_nouns=NOUNS, num_embed_targets=1, shuffle=True,
+                              default_weights=True, seed=1) as w:
+        for i in range(0, N, 64):
+            w.write(embeds[i:i + 64], noun_ids[i:i + 64])
+    return tmp, tok, tc, tt, path
+
+
+def make_model(tc):
+    cfg = DecoderModelConfig(embed_dim=F, vocab_size=tc.vocab_size, token_length=tc.token_length,
+                             hidden_dim=64, feedfwd_scale="1/4", num_layers=2, num_heads=4,
+                             mlp_seq_len=2, input_dropout=0.0, layer_dropout=0.0)
+    return create_decoder(cfg, rng=jax.random.PRNGKey(3))
+
+
+def test_training_loss_decreases(setup):
+    tmp, tok, tc, tt, cache_path = setup
+    cache = EmbeddingCache(cache_path, CacheExpectation(embed_dim=F, embed_dtype=np.float32,
+                                                        target_config=tc))
+    ds = cache.create_dataset(batch_size=64, training=True)
+    ds.configure_data(ds.resolve_data_config(multi_target=False, use_weights=False))
+    loader, info = ds.create_loader(batch_size=64, training=True, seed=7)
+
+    model, params = make_model(tc)
+    mesh = create_mesh(jax.devices()[:8])
+    chunk_batches = 4
+    C = TrainLoopConfig(chunk_batches=chunk_batches, chunk_samples=chunk_batches * 64,
+                        epoch_batches=info.epoch_batches, max_chunks=6, batch_size=64,
+                        init_lr=3e-3, lr_warmup=1, save_every_max=1000,
+                        loss_ewa_halflife=1.0)
+    noise = EmbeddingNoise.create("GaussElem", vec_norm=0.5)
+
+    with ds.loaded():
+        state, S, ewa = train(model=model, params=params, dataset=ds, loader=loader,
+                              loader_info=info, C=C, noise=noise, mesh=mesh)
+    assert S.chunk_id == 7
+    assert ewa.loss < 1.0, f"Training did not converge: loss {ewa.loss}"
+    assert ewa.top1 > 0.7, f"Training did not converge: top1 {ewa.top1}"
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    tmp, tok, tc, tt, cache_path = setup
+    model, params = make_model(tc)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params=params, cfg_flat={"action": "train", "init_lr": 1.5e-3},
+                    model_config=model.cfg, target_config=tc,
+                    data_config={"use_weights": False}, target_nouns=("",) + tuple(NOUNS),
+                    num_invalid_target_nouns=1, train_meta={"chunk_id": 3})
+    ckpt = load_checkpoint(path)
+    assert ckpt["target_config"] == tc
+    assert ckpt["model_config"] == model.cfg
+    assert ckpt["target_nouns"] == ("",) + tuple(NOUNS)
+    assert ckpt["train_meta"]["chunk_id"] == 3
+    for k, v in jax.tree.leaves_with_path(params):
+        pass
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(ckpt["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_state_dict_roundtrip(setup):
+    """params → reference state-dict names → params is the identity, and the
+    names match what the reference's PrefixedIterDecoder produces."""
+    tmp, tok, tc, tt, cache_path = setup
+    model, params = make_model(tc)
+    sd = params_to_torch_state_dict(jax.tree.map(np.asarray, params), model.cfg)
+    # Canonical reference names present
+    assert "embed_mlp.mlp.0.weight" in sd
+    assert "logits_linear.weight" in sd
+    assert "pos_embedding.embedding.weight" in sd
+    assert "transformer.layers.0.self_attn.in_proj_weight" in sd
+    assert "transformer.layers.1.linear2.weight" in sd
+    assert "transformer.norm.weight" in sd
+    back = torch_state_dict_to_params(sd, model.cfg)
+    flat_a = dict(zip(map(str, jax.tree.structure(params).flatten_up_to(params)), []))
+    a_leaves = jax.tree.leaves(params)
+    b_leaves = jax.tree.leaves(back)
+    assert len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_torch_checkpoint_interop(setup, tmp_path):
+    """Write a reference-schema torch checkpoint and load it back through the
+    torch-pickle interop path (ref train.py:1450-1473 schema)."""
+    torch = pytest.importorskip("torch")
+    from novic_tpu.train.checkpoint import load_reference_checkpoint, save_reference_checkpoint
+
+    tmp, tok, tc, tt, cache_path = setup
+    model, params = make_model(tc)
+    cfg_flat = {f: getattr(model.cfg, f) for f in model.cfg.__dataclass_fields__}
+    path = str(tmp_path / "ovod_chunk0001_test.model")
+    save_reference_checkpoint(path, params=jax.tree.map(np.asarray, params),
+                              model_config=model.cfg, target_config=tc,
+                              target_nouns=("",) + tuple(NOUNS),
+                              num_invalid_target_nouns=1, cfg_flat=cfg_flat)
+    loaded = load_reference_checkpoint(path)
+    assert loaded["target_config"] == tc
+    assert loaded["target_nouns"] == ("",) + tuple(NOUNS)
+    a_leaves = jax.tree.leaves(params)
+    b_leaves = jax.tree.leaves(loaded["params"])
+    assert len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Model config round-trips the architecture
+    assert loaded["model_config"].hidden_dim == model.cfg.hidden_dim
+    assert loaded["model_config"].num_layers == model.cfg.num_layers
