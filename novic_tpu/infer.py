@@ -1,0 +1,605 @@
+"""NOVIC inference API: the packaged product.
+
+Capability parity with the reference infer.py: NOVICModel (context-manager
+that lazily loads embedder towers + decoder, classify_image(s)/classify_embeds
+returning NOVICOutput), GenerationConfig with the compact name codec
+(``{method}_k{K}_v{none|tokX|tgtX}_g{n|p|r}_t{T}_a{A}``, ref infer.py:357-433),
+stateful GenerationTask evaluators with top-k result bucketing
+(ref infer.py:435-644), and the loader helpers (ref infer.py:651-778).
+
+TPU-first: decode paths are the KV-cached lax.scan generators
+(novic_tpu.models.generate); each (gencfg, guide-set, batch-shape) combination
+compiles once and is cached on the task. Images preprocess on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import re
+from typing import Any, Callable, Optional, Sequence, Union
+
+import numpy as np
+
+from novic_tpu.embedders.base import Embedder
+from novic_tpu.models.base import create_decoder, decoder_class
+from novic_tpu.models.config import DecoderModelConfig
+from novic_tpu.models.dud import DudDecoder
+from novic_tpu.models.generate import (
+    generate_all,
+    generate_beam,
+    generate_greedy,
+    precompute_generate_all,
+)
+from novic_tpu.text.target import TargetConfig, TargetTokenizer
+from novic_tpu.utils.logger import log
+from novic_tpu.utils.misc import format_semifix
+
+# ---------------------------------------------------------------------------
+# GenerationConfig (ref infer.py:357-433)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    method: str            # greedy | beam | all
+    topk: int
+    vocab_prior: bool = False
+    vocab_per_token: bool = False
+    vocab_scaler: float = 0.0
+    guided: bool = False
+    guide_renorm: bool = False
+    temperature: float = 1.0
+    length_alpha: float = 0.0
+    name: str = dataclasses.field(init=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "name", self.generate_name())
+
+    def generate_name(self) -> str:
+        vocab_prior = (f"{'tok' if self.vocab_per_token else 'tgt'}"
+                       f"{format_semifix(self.vocab_scaler, precision=3)}"
+                       if self.vocab_prior else "none")
+        guide = "n" if not self.guided else ("r" if self.guide_renorm else "p")
+        return (f"{self.method}_k{self.topk}_v{vocab_prior}_g{guide}"
+                f"_t{format_semifix(self.temperature, precision=3)}"
+                f"_a{format_semifix(self.length_alpha, precision=3)}")
+
+    @staticmethod
+    def from_name(name: str) -> "GenerationConfig":
+        parts = name.split("_")
+        method = parts[0]
+        topk = 0
+        vocab_prior = vocab_per_token = guided = guide_renorm = False
+        vocab_scaler, tau, alpha = 0.0, 1.0, 0.0
+        for part in itertools.islice(parts, 1, None):
+            if not part:
+                raise ValueError(f"Unexpected multiple underscores in generation configuration: {name}")
+            prefix, value = part[:1], part[1:]
+            try:
+                if prefix == "k":
+                    topk = int(value)
+                elif prefix == "v":
+                    if value != "none":
+                        vocab_prior = True
+                        match = re.fullmatch(r"(tok|tgt)(.*)", value)
+                        try:
+                            vocab_per_token = match.group(1) == "tok"
+                            vocab_scaler = float(match.group(2))
+                        except (AttributeError, ValueError):
+                            raise ValueError(f"Invalid vocab prior specification: {value}")
+                elif prefix == "g":
+                    if value not in ("n", "p", "r"):
+                        raise ValueError(f"Invalid guide specification: {value}")
+                    guided = value != "n"
+                    guide_renorm = value == "r"
+                elif prefix == "t":
+                    tau = float(value)
+                elif prefix == "a":
+                    alpha = float(value)
+                else:
+                    raise ValueError(f"Invalid prefix: {prefix}")
+            except ValueError:
+                raise ValueError(f"Failed to parse generation configuration part: {part}")
+        gencfg = GenerationConfig(method=method, topk=topk, vocab_prior=vocab_prior,
+                                  vocab_per_token=vocab_per_token, vocab_scaler=vocab_scaler,
+                                  guided=guided, guide_renorm=guide_renorm, temperature=tau,
+                                  length_alpha=alpha)
+        if gencfg.method not in ("greedy", "beam", "all"):
+            raise ValueError(f"Invalid generation configuration method: {gencfg.method}")
+        if gencfg.topk < 1:
+            raise ValueError(f"Missing or invalid non-positive top-k: {gencfg.topk}")
+        if gencfg.temperature <= 0:
+            raise ValueError(f"Invalid non-positive temperature tau: {gencfg.temperature}")
+        assert gencfg.name == name
+        return gencfg
+
+
+# ---------------------------------------------------------------------------
+# Decoder holder
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Decoder:
+    """A decoder model + params + target tokenizer (the reference folds this
+    into the nn.Module + embedder pair)."""
+
+    model: Any
+    params: Any
+    cfg: DecoderModelConfig
+    target_tokenizer: TargetTokenizer
+    target_vocab: tuple[str, ...] = ()
+
+    @property
+    def is_dud(self) -> bool:
+        return isinstance(self.model, DudDecoder)
+
+
+# ---------------------------------------------------------------------------
+# GenerationTask (ref infer.py:435-644)
+# ---------------------------------------------------------------------------
+
+RESULT_NAMES = ("correct", "valid_guide", "valid_vocab", "invalid")
+COLOR_MAP = ("\033[92m", "\033[35m", "\033[33m", "\033[91m")
+
+
+@dataclasses.dataclass(eq=False)
+class GenerationTask:
+    gencfg: GenerationConfig
+    decoder: Decoder
+    vocab_targets_set: set[str]
+    vocab_targets: Optional[np.ndarray]
+    guide_targets_set: set[str]
+    guide_targets: Optional[np.ndarray]
+    class_lists: Optional[Sequence[Sequence[str]]] = None
+
+    precompute: Any = None
+    target: Optional[np.ndarray] = None
+    target_padding: Optional[np.ndarray] = None
+    target_score: Optional[list] = None
+    num_samples: int = 0
+    target_str: Optional[list] = None
+    invalid: Optional[np.ndarray] = None
+    valid_vocab: Optional[np.ndarray] = None
+    valid_guide: Optional[np.ndarray] = None
+    correct: Optional[np.ndarray] = None
+    result: Optional[np.ndarray] = None
+    topk_counts: np.ndarray = dataclasses.field(init=False)
+    topk_invalid: Optional[np.ndarray] = None
+    topk_valid: Optional[np.ndarray] = None
+    topk_vocab: Optional[np.ndarray] = None
+    topk_guide: Optional[np.ndarray] = None
+    topk: Optional[np.ndarray] = None
+
+    _jit_cache: dict = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        self.topk_counts = np.zeros((self.gencfg.topk, 4), dtype=np.int64)
+        if self.gencfg.vocab_prior and self.vocab_targets is None:
+            raise ValueError("Generation config specifies vocab priors but no vocab targets given")
+        if self.gencfg.guided and self.guide_targets is None:
+            raise ValueError("Generation config is guided but no guide targets were provided")
+        if self.gencfg.method == "greedy":
+            if self.gencfg.topk != 1:
+                raise ValueError(f"Top-k must be 1 for greedy generation: {self.gencfg.topk}")
+            if self.gencfg.vocab_prior:
+                raise ValueError("Greedy generation does not support vocab priors")
+        elif self.gencfg.method == "all":
+            if not self.gencfg.guided:
+                raise ValueError("The 'all' generation method must always be guided")
+
+    def clear(self, clear_precompute: bool = False):
+        if clear_precompute:
+            self.precompute = None
+        self.target = self.target_padding = self.target_score = None
+        self.num_samples = 0
+        self.target_str = None
+        self.invalid = self.valid_vocab = self.valid_guide = self.correct = self.result = None
+        self.topk_counts = np.zeros((self.gencfg.topk, 4), dtype=np.int64)
+        self.topk_invalid = self.topk_valid = self.topk_vocab = self.topk_guide = self.topk = None
+
+    # -- generation -----------------------------------------------------------
+
+    def ensure_precomputed(self, precompute_cache: Optional[dict] = None):
+        if self.precompute is not None or self.gencfg.method != "all":
+            return
+        if self.decoder.is_dud:
+            self.precompute = None
+            return
+        kwargs = dict(length_alpha=self.gencfg.length_alpha,
+                      vocab_targets=self.vocab_targets if self.gencfg.vocab_prior else None,
+                      vocab_per_token=self.gencfg.vocab_per_token,
+                      vocab_scaler=self.gencfg.vocab_scaler,
+                      guide_targets=self.guide_targets,
+                      guide_renorm=self.gencfg.guide_renorm)
+        key = (self.gencfg.method, id(self.vocab_targets) if self.gencfg.vocab_prior else None,
+               self.gencfg.vocab_per_token, self.gencfg.vocab_scaler, id(self.guide_targets),
+               self.gencfg.guide_renorm, self.gencfg.length_alpha)
+        if precompute_cache is not None and key in precompute_cache:
+            self.precompute = precompute_cache[key]
+            return
+        self.precompute = precompute_generate_all(self.decoder.cfg.vocab_size, **kwargs)
+        if precompute_cache is not None:
+            precompute_cache[key] = self.precompute
+
+    def generate(self, embeds: np.ndarray, *, precompute: bool = True,
+                 precompute_cache: Optional[dict] = None):
+        """→ (target BxKxC, padding BxKxC, scores BxK descending)."""
+        import jax
+
+        g = self.gencfg
+        dec = self.decoder
+        if precompute:
+            self.ensure_precomputed(precompute_cache=precompute_cache)
+
+        if dec.is_dud:
+            if g.method == "greedy":
+                t, p, _, _, _, s = dec.model.generate(embeds, calc_loss=True,
+                                                      temperature=g.temperature,
+                                                      length_alpha=g.length_alpha)
+                return np.asarray(t)[:, None], np.asarray(p)[:, None], np.asarray(s)[:, None]
+            if g.method == "beam":
+                t, p, s = dec.model.generate_beam(embeds, topk=g.topk)
+            else:
+                t, p, s = dec.model.generate_all(embeds, topk=g.topk,
+                                                 guide_targets=self.guide_targets)
+            return np.asarray(t), np.asarray(p), np.asarray(s)
+
+        key = (g.name, embeds.shape)
+        fn = self._jit_cache.get(key)
+        guide = self.guide_targets if g.guided else None
+        vocab = self.vocab_targets if g.vocab_prior else None
+        if fn is None:
+            if g.method == "greedy":
+                def raw(params, e):
+                    t, p, _, _, _, s = generate_greedy(
+                        dec.model, params, e, calc_loss=True, temperature=g.temperature,
+                        length_alpha=g.length_alpha,
+                        guide_targets=None if guide is None else np.asarray(guide),
+                        guide_renorm=g.guide_renorm)
+                    return t[:, None], p[:, None], s[:, None]
+                fn = jax.jit(raw)
+            elif g.method == "beam":
+                def raw(params, e):
+                    return generate_beam(
+                        dec.model, params, e, topk=g.topk, temperature=g.temperature,
+                        length_alpha=g.length_alpha,
+                        vocab_targets=None if vocab is None else np.asarray(vocab),
+                        vocab_per_token=g.vocab_per_token, vocab_scaler=g.vocab_scaler,
+                        guide_targets=None if guide is None else np.asarray(guide),
+                        guide_renorm=g.guide_renorm)
+                fn = jax.jit(raw)
+            elif g.method == "all":
+                pre = self.precompute
+
+                def fn(params, e):
+                    return generate_all(
+                        dec.model, params, e, topk=g.topk, temperature=g.temperature,
+                        length_alpha=g.length_alpha, vocab_targets=vocab,
+                        vocab_per_token=g.vocab_per_token, vocab_scaler=g.vocab_scaler,
+                        guide_targets=self.guide_targets, guide_renorm=g.guide_renorm,
+                        precompute=pre)
+            else:
+                raise ValueError(f"Unsupported generation method: {g.method}")
+            self._jit_cache[key] = fn
+        t, p, s = fn(dec.params, np.asarray(embeds, dtype=np.float32))
+        return np.asarray(t), np.asarray(p), np.asarray(s)
+
+    def process(self, embeds: np.ndarray, *, class_indices: Optional[Sequence[int]] = None,
+                precompute: bool = True, precompute_cache: Optional[dict] = None):
+        t, p, s = self.generate(embeds, precompute=precompute, precompute_cache=precompute_cache)
+        self.update(target=t, target_padding=p, target_score=s, class_indices=class_indices)
+
+    # -- statistics (ref infer.py:613-644) ------------------------------------
+
+    def update(self, target: np.ndarray, target_padding: np.ndarray, target_score: np.ndarray,
+               *, class_indices: Optional[Sequence[int]] = None):
+        self.target = np.asarray(target)
+        self.target_padding = np.asarray(target_padding)
+        self.target_score = np.asarray(target_score).tolist()
+
+        self.num_samples += self.target.shape[0]
+        self.target_str = self.decoder.target_tokenizer.detokenize_target(self.target)
+        self.valid_vocab = np.asarray(
+            [[pred in self.vocab_targets_set for pred in preds] for preds in self.target_str],
+            dtype=bool)
+        self.valid_guide = np.asarray(
+            [[pred in self.guide_targets_set for pred in preds] for preds in self.target_str],
+            dtype=bool)
+        if class_indices is not None and self.class_lists is not None:
+            self.correct = np.asarray(
+                [[pred in self.class_lists[cls] for pred in preds]
+                 for cls, preds in zip(class_indices, self.target_str)], dtype=bool)
+        else:
+            self.correct = np.zeros(self.target.shape[:-1], dtype=bool)
+        self.invalid = np.logical_not(self.correct | self.valid_guide | self.valid_vocab)
+        # result: 0 correct, 1 else valid guide, 2 else valid vocab, 3 invalid
+        stacked = np.stack([self.correct, self.valid_guide, self.valid_vocab,
+                            np.ones_like(self.invalid)], axis=2)
+        stacked = np.maximum.accumulate(stacked, axis=2)
+        self.result = np.argmax(stacked, axis=2)
+        stacked[:, :, -1] = self.invalid
+        self.topk_counts += np.maximum.accumulate(stacked, axis=1).sum(axis=0)
+        counts = self.topk_counts.astype(np.float64)
+        self.topk_valid = (self.num_samples - counts[:, 3]) / self.num_samples
+        ratios = counts / self.num_samples
+        self.topk_invalid = ratios[:, 3]
+        self.topk_vocab = ratios[:, 2]
+        self.topk_guide = ratios[:, 1]
+        self.topk = ratios[:, 0]
+
+
+class GenerationTaskList:
+    """Multiple gencfg tasks sharing a precompute cache; generate/update
+    pipelined per batch (ref train.py:170-231)."""
+
+    def __init__(self, tasks: Sequence[GenerationTask]):
+        self.tasks = list(tasks)
+        self.precompute_cache: dict = {}
+
+    def process(self, embeds: np.ndarray, *, class_indices=None):
+        pending = None
+        for task in self.tasks:
+            out = task.generate(embeds, precompute_cache=self.precompute_cache)
+            if pending is not None:
+                ptask, pt = pending
+                ptask.update(target=pt[0], target_padding=pt[1], target_score=pt[2],
+                             class_indices=class_indices)
+            pending = (task, out)
+        if pending is not None:
+            ptask, pt = pending
+            ptask.update(target=pt[0], target_padding=pt[1], target_score=pt[2],
+                         class_indices=class_indices)
+
+    def clear(self):
+        for task in self.tasks:
+            task.clear()
+
+
+# ---------------------------------------------------------------------------
+# Loader helpers (ref infer.py:651-778)
+# ---------------------------------------------------------------------------
+
+
+def load_guide_targets(target_tokenizer: TargetTokenizer, guide_targets: Sequence[str],
+                       batch_size: int = 1024) -> tuple[np.ndarray, tuple[str, ...]]:
+    """Batch-tokenize guide targets, dropping unencodable ones
+    (ref infer.py:687-710)."""
+    guide_list = list(dict.fromkeys(guide_targets))
+    ids, _ = target_tokenizer.tokenize_targets_batched(guide_list, batch_size=batch_size)
+    encodable = (ids >= 0).all(axis=1)
+    if not encodable.all():
+        dropped = [g for g, ok in zip(guide_list, encodable) if not ok]
+        log.warning(f"Dropped {len(dropped)} unencodable guide targets "
+                    f"(e.g. {dropped[:3]})")
+    kept = tuple(g for g, ok in zip(guide_list, encodable) if ok)
+    return ids[encodable], kept
+
+
+def load_decoder_from_checkpoint(checkpoint_path: str, embedder: Embedder,
+                                 model_override: Optional[str] = None) -> Decoder:
+    """Load a decoder (native .npz or reference torch checkpoint) and configure
+    the embedder's target tokenizer from it (ref infer.py:713-778)."""
+    if checkpoint_path.endswith(".npz"):
+        from novic_tpu.train.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(checkpoint_path)
+    else:
+        from novic_tpu.train.checkpoint import load_reference_checkpoint
+
+        ckpt = load_reference_checkpoint(checkpoint_path)
+
+    target_config: TargetConfig = ckpt["target_config"]
+    target_nouns = ckpt["target_nouns"]
+    num_invalid = ckpt["num_invalid_target_nouns"]
+    valid_nouns = target_nouns[num_invalid:]
+    embedder.configure_target(target_config, valid_nouns)
+
+    cfg: DecoderModelConfig = ckpt["model_config"]
+    if model_override:
+        cfg = cfg.replace(model=model_override)
+    cls = decoder_class(cfg.model)
+    if cls is DudDecoder:
+        model, params = create_decoder(cfg, target_tokenizer=embedder.target_tokenizer)
+    else:
+        model = cls(cfg=cfg)
+        params = ckpt["params"]
+    from novic_tpu.models.base import count_params
+
+    pc = count_params(params, cfg)
+    unused = f" + {pc['unused']} unused" if pc["unused"] else ""
+    log.info(f"Loaded decoder {cfg.model}: {pc['used']} params{unused}")
+    return Decoder(model=model, params=params, cfg=cfg,
+                   target_tokenizer=embedder.target_tokenizer,
+                   target_vocab=tuple(valid_nouns))
+
+
+# ---------------------------------------------------------------------------
+# NOVICModel (ref infer.py:46-350)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NOVICOutput:
+    preds: list[list[str]]      # BxK predicted noun strings
+    logprobs: list[list[float]] # BxK log-probability scores
+    probs: list[list[float]]    # BxK exponentiated scores
+    types: list[list[str]]      # BxK result types (correct/valid_guide/valid_vocab/invalid)
+
+
+class NOVICModel:
+    """The packaged open-vocabulary classifier.
+
+    with NOVICModel(checkpoint, embedder_spec=...) as model:
+        output = model.classify_images(images)
+    """
+
+    def __init__(self, checkpoint: str, *, embedder_spec: Optional[str] = None,
+                 gencfg: Union[str, GenerationConfig] = "beam_k10_vnone_gn_t1_a0",
+                 guide_targets: Optional[Sequence[str]] = None,
+                 batch_size: int = 64, embedder_kwargs: Optional[dict] = None):
+        self.checkpoint = checkpoint
+        self.gencfg = GenerationConfig.from_name(gencfg) if isinstance(gencfg, str) else gencfg
+        self.batch_size = batch_size
+        self._guide_target_strs = list(guide_targets) if guide_targets is not None else None
+
+        # Read cfg_flat without loading tensors to discover the embedder spec
+        # (ref infer.py:68 reads the checkpoint memory-mapped)
+        spec = embedder_spec
+        if spec is None:
+            spec = self._peek_embedder_spec(checkpoint)
+        if spec is None:
+            raise ValueError("Embedder spec not found in checkpoint; pass embedder_spec=...")
+        self.embedder = Embedder.create(spec, load_model=False, **(embedder_kwargs or {}))
+        self.decoder: Optional[Decoder] = None
+        self.task: Optional[GenerationTask] = None
+        self._entered = 0
+
+    @staticmethod
+    def _peek_embedder_spec(checkpoint: str) -> Optional[str]:
+        import os
+
+        if not os.path.isfile(checkpoint):
+            raise FileNotFoundError(f"Checkpoint not found: {checkpoint}")
+        try:
+            if checkpoint.endswith(".npz"):
+                import json as _json
+
+                data = np.load(checkpoint, allow_pickle=False)
+                meta = _json.loads(bytes(data["__meta__"]).decode())
+                return meta["cfg_flat"].get("embedder")
+            import torch
+
+            ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+            return ckpt["cfg_flat"].get("embedder")
+        except Exception as e:  # pragma: no cover
+            log.warning(f"Could not peek embedder spec from checkpoint: {e}")
+            return None
+
+    # -- configuration setters (ref infer.py:121-145) -------------------------
+
+    def set_gencfg(self, gencfg: Union[str, GenerationConfig]):
+        self.gencfg = GenerationConfig.from_name(gencfg) if isinstance(gencfg, str) else gencfg
+        if self.decoder is not None:
+            self._build_task()
+
+    def set_guide_targets(self, guide_targets: Optional[Sequence[str]] = None,
+                          guide_targets_file: Optional[str] = None):
+        if guide_targets_file:
+            with open(guide_targets_file) as f:
+                guide_targets = [line.strip() for line in f if line.strip()]
+        self._guide_target_strs = list(guide_targets) if guide_targets is not None else None
+        if self.decoder is not None:
+            self._build_task()
+
+    def set_batch_size(self, batch_size: int):
+        self.batch_size = batch_size
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def __enter__(self) -> "NOVICModel":
+        self._entered += 1
+        if self._entered == 1:
+            self.embedder.load_model()
+            self.load_decoder()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> bool:
+        self._entered -= 1
+        if self._entered <= 0:
+            self._entered = 0
+            self.embedder.unload_model()
+            self.decoder = None
+            self.task = None
+        return False
+
+    def load_decoder(self):
+        self.decoder = load_decoder_from_checkpoint(self.checkpoint, self.embedder)
+        self._build_task()
+
+    def _build_task(self):
+        dec = self.decoder
+        vocab_ids, vocab_strs = load_guide_targets(dec.target_tokenizer, dec.target_vocab)
+        if self._guide_target_strs is not None:
+            guide_ids, guide_strs = load_guide_targets(dec.target_tokenizer, self._guide_target_strs)
+        else:
+            guide_ids, guide_strs = vocab_ids, vocab_strs
+        self.task = GenerationTask(
+            gencfg=self.gencfg, decoder=dec,
+            vocab_targets_set=set(vocab_strs), vocab_targets=vocab_ids,
+            guide_targets_set=set(guide_strs),
+            guide_targets=guide_ids if (self.gencfg.guided or self.gencfg.method == "all") else None)
+
+    # -- classification (ref infer.py:314-350) ----------------------------------
+
+    def transform_images(self, images: Sequence) -> np.ndarray:
+        return self.embedder.get_image_transform()(list(images))
+
+    def embed_images(self, images: Sequence) -> np.ndarray:
+        batches = []
+        images = list(images)
+        for i in range(0, len(images), self.batch_size):
+            pixel = self.transform_images(images[i:i + self.batch_size])
+            batches.append(self.embedder.inference_image(pixel))
+        return np.concatenate(batches, axis=0)
+
+    def classify_embeds(self, embeds: np.ndarray) -> NOVICOutput:
+        assert self.task is not None, "NOVICModel must be entered before classification"
+        self.task.clear()
+        preds, logprobs, types = [], [], []
+        for i in range(0, embeds.shape[0], self.batch_size):
+            chunk = embeds[i:i + self.batch_size]
+            self.task.process(chunk)
+            preds.extend(self.task.target_str)
+            logprobs.extend(self.task.target_score)
+            types.extend([[RESULT_NAMES[r] for r in row] for row in self.task.result.tolist()])
+        probs = [[float(np.exp(lp)) for lp in row] for row in logprobs]
+        return NOVICOutput(preds=preds, logprobs=logprobs, probs=probs, types=types)
+
+    def classify_images(self, images: Sequence) -> NOVICOutput:
+        return self.classify_embeds(self.embed_images(images))
+
+    def classify_image(self, image) -> NOVICOutput:
+        return self.classify_images([image])
+
+
+# ---------------------------------------------------------------------------
+# CLI (ref infer.py:785-835)
+# ---------------------------------------------------------------------------
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="NOVIC inference: open-vocabulary image classification")
+    parser.add_argument("--checkpoint", required=True, help="Decoder checkpoint (.npz or reference .model/.train)")
+    parser.add_argument("--images", nargs="+", required=True, help="Image paths to classify")
+    parser.add_argument("--embedder", default=None, help="Embedder spec override (TYPE:NAME)")
+    parser.add_argument("--gencfg", default="beam_k10_vnone_gn_t1_a0")
+    parser.add_argument("--guide_targets", nargs="*", default=None)
+    parser.add_argument("--guide_targets_file", default=None)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--weights", default=None, help="Converted embedder tower weights (.npz)")
+    args = parser.parse_args(argv)
+
+    from novic_tpu.embedders.preprocess import load_images
+
+    embedder_kwargs = {"weights_path": args.weights} if args.weights else {}
+    model = NOVICModel(args.checkpoint, embedder_spec=args.embedder, gencfg=args.gencfg,
+                       batch_size=args.batch_size, embedder_kwargs=embedder_kwargs)
+    if args.guide_targets or args.guide_targets_file:
+        model.set_guide_targets(args.guide_targets, args.guide_targets_file)
+    images = load_images(args.images)
+    with model:
+        output = model.classify_images(images)
+    reset = "\033[0m"
+    for path, preds, logprobs, types in zip(args.images, output.preds, output.logprobs, output.types):
+        tops = "  ".join(
+            f"{COLOR_MAP[RESULT_NAMES.index(t)]}{p}{reset} ({np.exp(lp):.1%})"
+            for p, lp, t in itertools.islice(zip(preds, logprobs, types), 3))
+        print(f"{path} --> {tops}")
+
+
+if __name__ == "__main__":
+    main()
