@@ -1,0 +1,567 @@
+"""Evaluation, zero-shot, inference and scoring actions.
+
+Parity with the reference actions (reference train.py): embedder_zero_shot
+(+ modality-gap measurement → JSON) :674-774, eval :1650-1868, eval_cls
+:1875-2120, eval_cls_decoding :2127-2450 (+ gencfg grid :3788-3832), infer
+:2457-2724 (predictions JSON schema :2699-2724), format_preds + PredictionScorer
+:2731-2917 (+ extras/specificity scoring), class-name → vocab alignment
+:3999-4127.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+
+from novic_tpu.cli.common import (
+    find_checkpoints,
+    gen_data_config,
+    load_embedder,
+    load_embedding_dataset,
+    make_run_dir,
+    resolve_path,
+)
+from novic_tpu.data.classification import (
+    ClassificationLoader,
+    load_image_dataset,
+    load_image_dataset_prompts,
+)
+from novic_tpu.infer import (
+    Decoder,
+    GenerationConfig,
+    GenerationTask,
+    GenerationTaskList,
+    load_decoder_from_checkpoint,
+    load_guide_targets,
+)
+from novic_tpu.utils.logger import log
+from novic_tpu.utils.metrics import MetricsLogger
+from novic_tpu.utils.misc import get_canon, json_dumps, make_indefinite
+
+# ---------------------------------------------------------------------------
+# Class-name ↔ vocab alignment (ref train.py:3999-4127)
+# ---------------------------------------------------------------------------
+
+
+def load_vocab_id_map(target_nouns: Sequence[str]) -> dict[str, set[int]]:
+    """Canonical noun form → set of vocab indices (ref train.py:4108-4127)."""
+    vocab_map: dict[str, set[int]] = {}
+    for i, noun in enumerate(target_nouns):
+        if not noun:
+            continue
+        canon = get_canon(noun, sanitize=True)
+        vocab_map.setdefault(canon, set()).add(i)
+    return vocab_map
+
+
+def align_cls_class_targets(class_names: Sequence[str], target_nouns: Sequence[str]
+                            ) -> list[list[str]]:
+    """Map benchmark class names → lists of matching vocab nouns via canonical
+    forms; unmatched classes keep their own (cleaned) name
+    (ref train.py:4053-4106)."""
+    vocab_map = load_vocab_id_map(target_nouns)
+    out = []
+    unmatched = 0
+    for name in class_names:
+        canon = get_canon(name, sanitize=True)
+        ids = vocab_map.get(canon)
+        if ids:
+            out.append([target_nouns[i] for i in sorted(ids)])
+        else:
+            unmatched += 1
+            out.append([name])
+    if unmatched:
+        log.warning(f"{unmatched}/{len(class_names)} class names have no vocab noun match")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embedder_zero_shot (ref train.py:674-774)
+# ---------------------------------------------------------------------------
+
+
+def compute_text_embeddings(embedder, class_names: Sequence[str],
+                            prompts: Sequence[tuple[str, bool]]) -> np.ndarray:
+    """Per class: mean over the prompt ensemble, renormalized
+    (ref train.py:3606-3628)."""
+    out = np.empty((len(class_names), embedder.embed_dim), np.float32)
+    for i, name in enumerate(class_names):
+        texts = [p.format(noun=make_indefinite(name) if need_article else name)
+                 for p, need_article in prompts]
+        embeds = embedder.inference_text(texts)
+        mean = embeds.mean(axis=0)
+        out[i] = mean / max(np.linalg.norm(mean), 1e-12)
+    return out
+
+
+def action_embedder_zero_shot(cfg):
+    """Classic CLIP zero-shot eval; optional modality-gap measurement → JSON
+    (ref train.py:674-774)."""
+    embedder = load_embedder(cfg, load_model=True)
+    names = cfg.cls_datasets or [cfg.cls_dataset]
+    results = {}
+    for ds_name in names:
+        ds = load_image_dataset(ds_name, resolve_path(cfg, cfg.cls_dataset_root),
+                                split=cfg.cls_split, variant="clip")
+        prompts = load_image_dataset_prompts(ds_name, cfg.zero_shot_prompts)
+        text_embeds = compute_text_embeddings(embedder, ds.classes, prompts)
+        loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
+                                      transform=embedder.get_image_transform(),
+                                      shuffle=False)
+        correct = total = 0
+        # Welford angle stats + mean-shift accumulation (ref train.py:713-774)
+        gap_n = 0
+        gap_mean = np.zeros(embedder.embed_dim, np.float64)
+        angle_sum = angle_sq_sum = 0.0
+        for pixel, labels in loader:
+            img_embeds = embedder.inference_image(pixel)
+            logits = img_embeds @ text_embeds.T
+            pred = logits.argmax(axis=1)
+            correct += int((pred == labels).sum())
+            total += len(labels)
+            if cfg.measure_gap:
+                t = text_embeds[labels]
+                diff = img_embeds - t
+                gap_mean += diff.sum(axis=0)
+                gap_n += len(labels)
+                cos = np.clip((img_embeds * t).sum(axis=1), -1, 1)
+                ang = np.degrees(np.arccos(cos))
+                angle_sum += ang.sum()
+                angle_sq_sum += (ang ** 2).sum()
+        top1 = correct / max(total, 1)
+        log.info(f"Zero-shot {ds_name}: top-1 {top1:.2%} ({correct}/{total})")
+        results[ds_name] = top1
+        if cfg.measure_gap:
+            mean_shift = (gap_mean / max(gap_n, 1)).astype(np.float32)
+            angle_mean = angle_sum / max(gap_n, 1)
+            angle_std = float(np.sqrt(max(angle_sq_sum / max(gap_n, 1) - angle_mean ** 2, 0)))
+            gap = {"cfg_embedder": cfg.embedder, "dataset": ds_name, "samples": gap_n,
+                   "angle_mean_deg": angle_mean, "angle_std_deg": angle_std,
+                   "mean_shift": mean_shift.tolist()}
+            out_path = resolve_path(cfg, cfg.gap_output_path)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(out_path, "w") as f:
+                f.write(json_dumps(gap, indent=2))
+            log.info(f"Wrote modality gap JSON (angle {angle_mean:.1f}±{angle_std:.1f}°): {out_path}")
+    return results
+
+
+# ---------------------------------------------------------------------------
+# eval: teacher-forced metrics over embedding datasets (ref train.py:1650-1868)
+# ---------------------------------------------------------------------------
+
+
+def action_eval(cfg):
+    """Teacher-forced loss + token top-1 + whole-noun top-1 per model over
+    embedding datasets."""
+    embedder = load_embedder(cfg, load_model=False)
+    ckpts = find_checkpoints(cfg)
+    if not ckpts:
+        raise ValueError("eval requires load_model/load_models")
+    specs = cfg.embedding_datasets or [cfg.embedding_dataset]
+    results = {}
+    for ckpt_path in ckpts:
+        decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
+        apply_fn = jax.jit(lambda p, e, t, m: decoder.model.apply(
+            {"params": p}, e, t, m, None, calc_loss=True, calc_correct=True))
+        for spec in specs:
+            dataset = load_embedding_dataset(cfg, embedder, spec=spec, training=False)
+            gen_data_config(cfg, dataset)
+            loader, info = dataset.create_loader(batch_size=cfg.batch_size, training=False)
+            loss_sum = loss_basis = 0.0
+            tok_correct = tok_total = 0.0
+            noun_correct = noun_total = 0
+            batches = 0
+            with dataset.loaded():
+                for embed, target, mask, weight in loader:
+                    if target.ndim == 3:
+                        target, mask = target[:, 0], (None if mask is None else mask[:, 0])
+                    logits, pad, ls, lb, correct = apply_fn(
+                        decoder.params, np.asarray(embed, np.float32),
+                        np.asarray(target), None if mask is None else np.asarray(mask))
+                    correct = np.asarray(correct)
+                    pad_arr = None if pad is None else np.asarray(pad)
+                    loss_sum += float(ls)
+                    loss_basis += float(lb)
+                    tok_correct += correct.sum()
+                    tok_total += correct.size - (0 if pad_arr is None else pad_arr.sum())
+                    # whole-noun top-1: all non-padded tokens of a sample correct
+                    ok = correct | (pad_arr if pad_arr is not None else False)
+                    noun_correct += int(ok.all(axis=-1).sum())
+                    noun_total += correct.shape[0]
+                    batches += 1
+                    if cfg.eval_batches and batches >= cfg.eval_batches:
+                        break
+            res = {"loss": loss_sum / max(loss_basis, 1e-9),
+                   "token_top1": tok_correct / max(tok_total, 1e-9),
+                   "noun_top1": noun_correct / max(noun_total, 1)}
+            log.info(f"eval[{os.path.basename(ckpt_path)} @ {spec}]: "
+                     f"loss {res['loss']:.4e}, token top1 {res['token_top1']:.3%}, "
+                     f"noun top1 {res['noun_top1']:.3%}")
+            results[(ckpt_path, spec)] = res
+    return results
+
+
+# ---------------------------------------------------------------------------
+# eval_cls: greedy-decode classification buckets (ref train.py:1875-2120)
+# ---------------------------------------------------------------------------
+
+
+def action_eval_cls(cfg):
+    """Per image: greedy prediction classified into Direct{Correct,Valid,Invalid}
+    × Guided{Correct,Incorrect} buckets."""
+    embedder = load_embedder(cfg, load_model=True)
+    ckpts = find_checkpoints(cfg)
+    if not ckpts:
+        raise ValueError("eval_cls requires load_model/load_models")
+    ds = load_image_dataset(cfg.cls_dataset, resolve_path(cfg, cfg.cls_dataset_root),
+                            split=cfg.cls_split, variant=cfg.class_names_variant, clean=True)
+    loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
+                                  transform=embedder.get_image_transform(),
+                                  shuffle=False)
+    # Embed phase: embed dataset once, reuse per model (ref train.py:2244-2250)
+    embeds_list, labels_list = [], []
+    for pixel, labels in loader:
+        embeds_list.append(embedder.inference_image(pixel))
+        labels_list.append(labels)
+    all_embeds = np.concatenate(embeds_list)
+    all_labels = np.concatenate(labels_list)
+
+    results = {}
+    for ckpt_path in ckpts:
+        decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
+        class_targets = align_cls_class_targets(ds.classes, ("",) + decoder.target_vocab)
+        vocab_ids, vocab_strs = load_guide_targets(decoder.target_tokenizer, decoder.target_vocab)
+        direct = GenerationTask(
+            gencfg=GenerationConfig.from_name("greedy_k1_vnone_gn_t1_a0"), decoder=decoder,
+            vocab_targets_set=set(vocab_strs), vocab_targets=vocab_ids,
+            guide_targets_set=set(vocab_strs), guide_targets=None,
+            class_lists=class_targets)
+        guided = GenerationTask(
+            gencfg=GenerationConfig.from_name("greedy_k1_vnone_gp_t1_a0"), decoder=decoder,
+            vocab_targets_set=set(vocab_strs), vocab_targets=vocab_ids,
+            guide_targets_set=set(vocab_strs), guide_targets=vocab_ids,
+            class_lists=class_targets)
+        buckets = {f"direct_{d}_guided_{g}": 0
+                   for d in ("correct", "valid", "invalid") for g in ("correct", "incorrect")}
+        B = cfg.batch_size_image
+        for i in range(0, len(all_embeds), B):
+            chunk = all_embeds[i:i + B]
+            cls_idx = all_labels[i:i + B].tolist()
+            direct.process(chunk, class_indices=cls_idx)
+            guided.process(chunk, class_indices=cls_idx)
+            d_res = direct.result[:, 0]
+            g_corr = guided.correct[:, 0]
+            for dr, gc in zip(d_res.tolist(), g_corr.tolist()):
+                d = "correct" if dr == 0 else ("valid" if dr in (1, 2) else "invalid")
+                g = "correct" if gc else "incorrect"
+                buckets[f"direct_{d}_guided_{g}"] += 1
+        total = len(all_embeds)
+        direct_top1 = direct.topk[0]
+        guided_top1 = guided.topk[0]
+        log.info(f"eval_cls[{os.path.basename(ckpt_path)} @ {cfg.cls_dataset}]: "
+                 f"direct top1 {direct_top1:.2%}, guided top1 {guided_top1:.2%}, "
+                 f"buckets {buckets}")
+        results[ckpt_path] = {"direct_top1": float(direct_top1),
+                              "guided_top1": float(guided_top1),
+                              "buckets": buckets, "total": total}
+    return results
+
+
+# ---------------------------------------------------------------------------
+# eval_cls_decoding (ref train.py:2127-2450)
+# ---------------------------------------------------------------------------
+
+
+def load_generation_configs(cfg) -> list[GenerationConfig]:
+    """Explicit gencfgs + optional grid sweep with greedy-axis dedup
+    (ref train.py:3788-3832)."""
+    names = list(cfg.gencfgs or ())
+    if cfg.gencfg:
+        names.append(cfg.gencfg)
+    gencfgs = [GenerationConfig.from_name(n) for n in names]
+    if cfg.gencfgs_grid:
+        seen = {g.name for g in gencfgs}
+        for method, topk, vp, vpt, vs, gd, gr, t, a in itertools.product(
+                cfg.grid_method, cfg.grid_topk, cfg.grid_vocab_prior, cfg.grid_vocab_per_token,
+                cfg.grid_vocab_scaler, cfg.grid_guided, cfg.grid_guide_renorm,
+                cfg.grid_temperature, cfg.grid_length_alpha):
+            if method == "greedy":
+                topk, vp = 1, False  # greedy-irrelevant axes dedup
+            if method == "all":
+                gd = True
+            g = GenerationConfig(method=method, topk=topk, vocab_prior=vp,
+                                 vocab_per_token=vpt and vp, vocab_scaler=vs if vp else 0.0,
+                                 guided=gd, guide_renorm=gr and gd, temperature=t,
+                                 length_alpha=a)
+            if g.name not in seen:
+                seen.add(g.name)
+                gencfgs.append(g)
+    if not gencfgs:
+        gencfgs = [GenerationConfig.from_name("beam_k10_vnone_gn_t1_a0")]
+    return gencfgs
+
+
+def action_eval_cls_decoding(cfg):
+    """Grid of GenerationConfigs × models × cls datasets → top-k tables."""
+    embedder = load_embedder(cfg, load_model=True)
+    ckpts = find_checkpoints(cfg)
+    if not ckpts:
+        raise ValueError("eval_cls_decoding requires load_model/load_models")
+    gencfgs = load_generation_configs(cfg)
+    names = cfg.cls_datasets or [cfg.cls_dataset]
+    run_dir = make_run_dir(cfg)
+    metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb, project=cfg.wandb_project)
+    all_rows = []
+    for ds_name in names:
+        ds = load_image_dataset(ds_name, resolve_path(cfg, cfg.cls_dataset_root),
+                                split=cfg.cls_split, variant=cfg.class_names_variant, clean=True)
+        loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
+                                      transform=embedder.get_image_transform(), shuffle=False)
+        embeds_list, labels_list = [], []
+        for pixel, labels in loader:
+            embeds_list.append(embedder.inference_image(pixel))
+            labels_list.append(labels)
+        all_embeds = np.concatenate(embeds_list)
+        all_labels = np.concatenate(labels_list)
+
+        for ckpt_path in ckpts:
+            decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
+            class_targets = align_cls_class_targets(ds.classes, ("",) + decoder.target_vocab)
+            vocab_ids, vocab_strs = load_guide_targets(decoder.target_tokenizer,
+                                                       decoder.target_vocab)
+            tasks = [GenerationTask(gencfg=g, decoder=decoder,
+                                    vocab_targets_set=set(vocab_strs), vocab_targets=vocab_ids,
+                                    guide_targets_set=set(vocab_strs),
+                                    guide_targets=vocab_ids if (g.guided or g.method == "all") else None,
+                                    class_lists=class_targets)
+                     for g in gencfgs]
+            task_list = GenerationTaskList(tasks)
+            B = cfg.batch_size_image
+            for i in range(0, len(all_embeds), B):
+                task_list.process(all_embeds[i:i + B],
+                                  class_indices=all_labels[i:i + B].tolist())
+            header = ["gencfg"] + [f"top{k}" for k in range(1, cfg.eval_topk + 1)] + \
+                     ["top1_guide", "top1_vocab", "top1_invalid"]
+            rows = []
+            for task in tasks:
+                K = min(task.gencfg.topk, cfg.eval_topk)
+                row = [task.gencfg.name] + \
+                      [f"{task.topk[k]:.2%}" if k < task.gencfg.topk else "-"
+                       for k in range(cfg.eval_topk)] + \
+                      [f"{task.topk_guide[0]:.2%}", f"{task.topk_vocab[0]:.2%}",
+                       f"{task.topk_invalid[0]:.2%}"]
+                rows.append(row)
+                all_rows.append([ds_name, os.path.basename(ckpt_path)] + row)
+                metrics.log({"dataset": ds_name, "model": os.path.basename(ckpt_path),
+                             "gencfg": task.gencfg.name, "top1": float(task.topk[0]) * 100})
+            width = [max(len(str(r[c])) for r in [header] + rows) for c in range(len(header))]
+            log.info(f"--- {ds_name} / {os.path.basename(ckpt_path)} ---")
+            for r in [header] + rows:
+                log.info("  ".join(str(v).ljust(w) for v, w in zip(r, width)))
+    metrics.log_table("eval_cls_decoding",
+                      ["dataset", "model", "gencfg"] +
+                      [f"top{k}" for k in range(1, cfg.eval_topk + 1)] +
+                      ["top1_guide", "top1_vocab", "top1_invalid"], all_rows)
+    metrics.finish()
+    return all_rows
+
+
+# ---------------------------------------------------------------------------
+# infer action + predictions JSON (ref train.py:2457-2724)
+# ---------------------------------------------------------------------------
+
+PREDICTIONS_VERSION = 1
+
+
+def action_infer(cfg):
+    """Embed texts/images, run all gencfgs, write versioned predictions JSON."""
+    from novic_tpu.embedders.preprocess import load_images
+
+    embedder = load_embedder(cfg, load_model=True)
+    ckpts = find_checkpoints(cfg)
+    if not ckpts:
+        raise ValueError("infer requires load_model/load_models")
+    gencfgs = load_generation_configs(cfg)
+
+    keys: list[str] = []
+    embeds_parts = []
+    if cfg.infer_texts:
+        keys.extend(cfg.infer_texts)
+        embeds_parts.append(embedder.inference_text(list(cfg.infer_texts)))
+    image_paths = [resolve_path(cfg, p) for p in cfg.infer_images]
+    if cfg.infer_all_dir:
+        d = resolve_path(cfg, cfg.infer_all_dir)
+        image_paths.extend(sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp", ".bmp"))))
+    if image_paths:
+        transform = embedder.get_image_transform()
+        for i in range(0, len(image_paths), cfg.batch_size_image):
+            chunk = image_paths[i:i + cfg.batch_size_image]
+            embeds_parts.append(embedder.inference_image(transform(load_images(chunk))))
+        keys.extend(image_paths)
+    if not embeds_parts:
+        raise ValueError("infer requires infer_texts, infer_images or infer_all_dir")
+    all_embeds = np.concatenate(embeds_parts)
+
+    guide_list = None
+    if cfg.guide_targets_file:
+        with open(resolve_path(cfg, cfg.guide_targets_file)) as f:
+            guide_list = [line.strip() for line in f if line.strip()]
+
+    output: dict[str, Any] = {"version": PREDICTIONS_VERSION, "models": {}}
+    for ckpt_path in ckpts:
+        decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
+        vocab_ids, vocab_strs = load_guide_targets(decoder.target_tokenizer, decoder.target_vocab)
+        if guide_list is not None:
+            guide_ids, guide_strs = load_guide_targets(decoder.target_tokenizer, guide_list)
+        else:
+            guide_ids, guide_strs = vocab_ids, vocab_strs
+        model_out: dict[str, Any] = {
+            "checkpoint": ckpt_path, "embedder": cfg.embedder,
+            "vocab_targets": len(vocab_strs), "guide_targets": len(guide_strs),
+            "gencfgs": {}}
+        for g in gencfgs:
+            task = GenerationTask(gencfg=g, decoder=decoder,
+                                  vocab_targets_set=set(vocab_strs),
+                                  vocab_targets=vocab_ids if g.vocab_prior else vocab_ids,
+                                  guide_targets_set=set(guide_strs),
+                                  guide_targets=guide_ids if (g.guided or g.method == "all") else None)
+            preds, scores, result = [], [], []
+            B = cfg.batch_size_embed
+            for i in range(0, len(all_embeds), B):
+                task.process(all_embeds[i:i + B])
+                preds.extend(task.target_str)
+                scores.extend(task.target_score)
+                result.extend([["correct", "valid_guide", "valid_vocab", "invalid"][r]
+                               for r in row] for row in task.result.tolist())
+            model_out["gencfgs"][g.name] = {"pred": preds, "score": scores, "result": result}
+            for key, p in zip(keys, preds):
+                log.info(f"[{g.name}] {key} --> {p[0]}")
+        output["models"][os.path.basename(ckpt_path)] = model_out
+
+    output["keys"] = keys
+    out_path = resolve_path(cfg, cfg.predictions_path) if cfg.predictions_path else \
+        os.path.join(make_run_dir(cfg), "predictions.json")
+    with open(out_path, "w") as f:
+        f.write(json_dumps(output, indent=2))
+    log.info(f"Wrote predictions JSON: {out_path}")
+    return output
+
+
+# ---------------------------------------------------------------------------
+# format_preds + PredictionScorer (ref train.py:2731-2917)
+# ---------------------------------------------------------------------------
+
+CATEGORY_WEIGHTS = {"correct_primary": 1.0, "correct_secondary": 0.8,
+                    "close_primary": 0.5, "close_secondary": 0.4, "incorrect": 0.0}
+
+
+@dataclasses.dataclass
+class PredictionScorer:
+    """Score predictions against annotation JSONs with category weights
+    (ref train.py PredictionScorer :234-336). Annotation schema:
+    {sample_key: {category: [nouns]}} (ref train.py:4197-4230)."""
+
+    annotations: dict[str, dict[str, list[str]]]
+    specificity: Optional[dict[str, float]] = None
+
+    score_sum: float = 0.0
+    score_count: int = 0
+    missing: int = 0
+
+    def score_prediction(self, sample_key: str, pred: str) -> Optional[float]:
+        ann = self.annotations.get(sample_key)
+        if ann is None:
+            self.missing += 1
+            return None
+        weight = 0.0
+        for category, nouns in ann.items():
+            if category in CATEGORY_WEIGHTS and pred in nouns:
+                weight = max(weight, CATEGORY_WEIGHTS[category])
+        if self.specificity is not None:
+            weight *= self.specificity.get(pred, 1.0)
+        self.score_sum += weight
+        self.score_count += 1
+        return weight
+
+    @property
+    def score(self) -> float:
+        return self.score_sum / max(self.score_count, 1)
+
+
+def action_format_preds(cfg):
+    """Score predictions JSONs against annotation JSONs; tabulate per model ×
+    gencfg (format modes: model_max_v1 / model_topk_v1 / gencfg_model_v1 /
+    nouns_v1)."""
+    annotations: dict[str, dict] = {}
+    for path in cfg.annotations_paths:
+        with open(resolve_path(cfg, path)) as f:
+            annotations.update(json.load(f))
+    if not annotations:
+        raise ValueError("format_preds requires annotations_paths")
+    specificity = None
+    if cfg.specificity_path:
+        with open(resolve_path(cfg, cfg.specificity_path)) as f:
+            specificity = json.load(f)
+
+    rows = []
+    for path in cfg.predictions_paths or ([cfg.predictions_path] if cfg.predictions_path else []):
+        with open(resolve_path(cfg, path)) as f:
+            predictions = json.load(f)
+        keys = predictions["keys"]
+        sample_keys = [os.path.basename(k) for k in keys]
+        for model_name, model_out in predictions["models"].items():
+            for gname, gout in model_out["gencfgs"].items():
+                scorer = PredictionScorer(annotations, specificity)
+                noun_rows = []
+                for sk, preds in zip(sample_keys, gout["pred"]):
+                    w = scorer.score_prediction(sk, preds[0])
+                    noun_rows.append((sk, preds[0], w))
+                rows.append((model_name, gname, scorer.score, scorer.score_count,
+                             scorer.missing))
+                if cfg.format_mode == "nouns_v1":
+                    for sk, pred, w in noun_rows:
+                        log.info(f"{sk}: {pred} -> {w}")
+    header = ("model", "gencfg", "score", "scored", "missing")
+    width = [max(len(str(r[c])) for r in [header] + rows) for c in range(len(header))]
+    for r in [header] + rows:
+        log.info("  ".join(str(v).ljust(w) for v, w in zip(r, width)))
+    return rows
+
+
+def action_format_metrics(cfg):
+    """Tabulate metrics.jsonl files from past runs (the local-logging
+    equivalent of the reference's wandb-mining action_format_wandb,
+    ref train.py:2935-3336; wandb API mining is used instead when wandb is
+    installed and use_wandb=true)."""
+    output_dir = resolve_path(cfg, cfg.output_dir)
+    rows = []
+    import glob as _glob
+
+    for path in sorted(_glob.glob(os.path.join(output_dir, "ovod_*", "metrics.jsonl"))):
+        run = os.path.basename(os.path.dirname(path))
+        last: dict[str, Any] = {}
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "_table" not in rec:
+                    last.update(rec)
+        if last:
+            rows.append((run, last.get("chunk"), last.get("loss"), last.get("top1"),
+                         last.get("top1_max")))
+    header = ("run", "chunk", "loss", "top1", "top1_max")
+    width = [max(len(str(r[c])) for r in [header] + rows) for c in range(len(header))]
+    for r in [header] + rows:
+        log.info("  ".join(str(v).ljust(w) for v, w in zip(r, width)))
+    return rows

@@ -1,0 +1,171 @@
+"""Miscellaneous actions: wiki image collection, image sampling, embedder
+weight conversion.
+
+Parity: collect_wiki_images (reference train.py:3343-3505 — Wikipedia API
+search/download with retry/backoff and ≤0.8MP resizing; requires network
+egress and is gated on it), sample_images (ref train.py:3512-3576 — random or
+CLIP-zero-shot-weighted multinomial sampling of images from a directory).
+convert_embedder is new: HF checkpoint → .npz tower weights for the JAX
+embedders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import time
+from typing import Optional
+
+import numpy as np
+
+from novic_tpu.cli.common import load_embedder, load_noun_dataset, resolve_path
+from novic_tpu.utils.logger import log
+
+WIKI_API = "https://en.wikipedia.org/w/api.php"
+
+
+def action_collect_wiki_images(cfg):
+    """Per target noun: Wikipedia page search, image download with size filters,
+    resize to ≤0.8MP, exponential-backoff retries (ref train.py:3343-3505)."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    import PIL.Image
+
+    out_dir = resolve_path(cfg, cfg.wiki_output_dir)
+    if not out_dir:
+        raise ValueError("collect_wiki_images requires wiki_output_dir")
+    os.makedirs(out_dir, exist_ok=True)
+    embedder = load_embedder(cfg, load_model=False)
+    dataset = load_noun_dataset(cfg, embedder, use_cache=False)
+
+    def api_get(params: dict, retries: int = 5) -> Optional[dict]:
+        params = dict(params, format="json")
+        url = f"{WIKI_API}?{urllib.parse.urlencode(params)}"
+        delay = 1.0
+        for attempt in range(retries):
+            try:
+                req = urllib.request.Request(url, headers={"User-Agent": "novic_tpu/0.1"})
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    return json.loads(resp.read().decode())
+            except (urllib.error.URLError, OSError, json.JSONDecodeError) as e:
+                log.warning(f"Wikipedia API error (attempt {attempt + 1}): {e}")
+                time.sleep(delay)
+                delay *= 2
+        return None
+
+    collected = 0
+    for noun in dataset.target_nouns:
+        search = api_get({"action": "query", "list": "search", "srsearch": noun,
+                          "srlimit": 1})
+        if not search or not search.get("query", {}).get("search"):
+            continue
+        title = search["query"]["search"][0]["title"]
+        images = api_get({"action": "query", "titles": title, "prop": "images",
+                          "imlimit": cfg.wiki_image_limit})
+        if not images:
+            continue
+        pages = images.get("query", {}).get("pages", {})
+        image_titles = [im["title"] for page in pages.values()
+                        for im in page.get("images", [])
+                        if im["title"].lower().endswith((".jpg", ".jpeg", ".png"))]
+        for im_title in image_titles[: cfg.wiki_image_limit]:
+            info = api_get({"action": "query", "titles": im_title, "prop": "imageinfo",
+                            "iiprop": "url|size"})
+            if not info:
+                continue
+            for page in info.get("query", {}).get("pages", {}).values():
+                for ii in page.get("imageinfo", []):
+                    w, h = ii.get("width", 0), ii.get("height", 0)
+                    if w * h < 100 * 100:  # size filter
+                        continue
+                    url = ii["url"]
+                    fname = f"{noun.replace(' ', '_')}_{os.path.basename(url)}"
+                    dest = os.path.join(out_dir, fname)
+                    if os.path.exists(dest):
+                        continue
+                    try:
+                        req = urllib.request.Request(url, headers={"User-Agent": "novic_tpu/0.1"})
+                        with urllib.request.urlopen(req, timeout=60) as resp, open(dest, "wb") as f:
+                            shutil.copyfileobj(resp, f)
+                        img = PIL.Image.open(dest).convert("RGB")
+                        if img.width * img.height > 800_000:  # resize to <=0.8MP
+                            scale = (800_000 / (img.width * img.height)) ** 0.5
+                            img = img.resize((int(img.width * scale), int(img.height * scale)),
+                                             PIL.Image.Resampling.BICUBIC)
+                            img.save(dest)
+                        collected += 1
+                    except Exception as e:
+                        log.warning(f"Failed to download {url}: {e}")
+                        if os.path.exists(dest):
+                            os.remove(dest)
+    log.info(f"Collected {collected} wiki images into {out_dir}")
+
+
+def action_sample_images(cfg):
+    """Random or CLIP-zero-shot-weighted multinomial image sampling
+    (weight = exp(factor * clamp(logit - mean)), ref train.py:3512-3576)."""
+    src = resolve_path(cfg, cfg.sample_images_dir)
+    out = resolve_path(cfg, cfg.sample_images_out)
+    if not src or not out:
+        raise ValueError("sample_images requires sample_images_dir and sample_images_out")
+    os.makedirs(out, exist_ok=True)
+    files = sorted(f for f in os.listdir(src)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp", ".bmp")))
+    if not files:
+        raise ValueError(f"No images found in {src}")
+    n = min(cfg.sample_images_num, len(files))
+
+    if not cfg.sample_images_weighted:
+        rng = random.Random(cfg.seed)
+        chosen = rng.sample(files, n)
+    else:
+        from novic_tpu.cli.actions_eval import compute_text_embeddings
+        from novic_tpu.embedders.preprocess import load_images
+
+        embedder = load_embedder(cfg, load_model=True)
+        dataset = load_noun_dataset(cfg, embedder, use_cache=False)
+        prompts = (("a photo of {noun}.", True),)
+        text_embeds = compute_text_embeddings(embedder, dataset.target_nouns[:512], prompts)
+        transform = embedder.get_image_transform()
+        logits_max = []
+        B = cfg.batch_size_image
+        for i in range(0, len(files), B):
+            paths = [os.path.join(src, f) for f in files[i:i + B]]
+            embeds = embedder.inference_image(transform(load_images(paths)))
+            logits_max.extend((embeds @ text_embeds.T).max(axis=1).tolist())
+        logits_max = np.asarray(logits_max)
+        weights = np.exp(cfg.sample_images_factor *
+                         np.clip(logits_max - logits_max.mean(), -5, 5))
+        weights /= weights.sum()
+        rng = np.random.default_rng(cfg.seed)
+        chosen = [files[i] for i in rng.choice(len(files), size=n, replace=False, p=weights)]
+
+    for f in chosen:
+        shutil.copy2(os.path.join(src, f), os.path.join(out, f))
+    log.info(f"Sampled {len(chosen)} images from {src} into {out}")
+    return chosen
+
+
+def action_convert_embedder(cfg):
+    """Convert an HF CLIP/SigLIP checkpoint to .npz tower weights (new; the
+    reference loads weights live through clip/open_clip/transformers)."""
+    import transformers
+
+    from novic_tpu.embedders.convert import convert_hf_model, save_params_npz
+
+    spec = cfg.embedder
+    if ":" not in spec:
+        raise ValueError(f"Invalid embedder spec: {spec}")
+    _, model_id = spec.split(":", 1)
+    out_path = resolve_path(cfg, cfg.embedder_weights)
+    if not out_path:
+        raise ValueError("convert_embedder requires embedder_weights (output .npz path)")
+    model = transformers.AutoModel.from_pretrained(model_id)
+    family = "siglip" if "siglip" in type(model).__name__.lower() else "clip"
+    v, t = convert_hf_model(model, family)
+    save_params_npz(out_path, v, t)
+    log.info(f"Converted {model_id} ({family}) → {out_path}")

@@ -1,0 +1,173 @@
+"""action=train and fix_checkpoints.
+
+Parity with the reference train action (reference train.py:977-1479):
+chunk math, mean-shift + noise, DP training, EWA metrics, checkpoint policy
+and resume; fix_checkpoints retrofits missing target_nouns into legacy
+checkpoints (ref train.py:1487-1643).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from novic_tpu.cli.common import (
+    check_loaded_config,
+    find_checkpoints,
+    gen_data_config,
+    load_embedder,
+    load_embedding_dataset,
+    load_mean_shift,
+    make_run_dir,
+    model_config_from_cfg,
+)
+from novic_tpu.data.grad_accum import GradAccum
+from novic_tpu.data.noise import EmbeddingNoise
+from novic_tpu.models.base import count_params, create_decoder
+from novic_tpu.parallel.mesh import create_mesh
+from novic_tpu.train.checkpoint import load_checkpoint, save_checkpoint, save_reference_checkpoint
+from novic_tpu.train.loop import (
+    TrainLoopConfig,
+    TrainLoopState,
+    compute_chunk_batches,
+    extract_opt_state_arrays,
+    train,
+)
+from novic_tpu.utils.config import config_to_flat
+from novic_tpu.utils.logger import log
+from novic_tpu.utils.metrics import MetricsLogger
+
+
+def action_train(cfg):
+    embedder = load_embedder(cfg, load_model=False)
+    dataset = load_embedding_dataset(cfg, embedder, training=True)
+    dc = gen_data_config(cfg, dataset)
+    loader, info = dataset.create_loader(batch_size=cfg.batch_size, training=True, seed=cfg.seed)
+    grad_accum = GradAccum(loader, info, accum_size=cfg.accum_factor, drop_last=True)
+
+    # Chunk math (ref train.py:990): chunk = num_valid_targets * chunk_scale samples
+    chunk_batches = compute_chunk_batches(dataset.num_valid_targets, cfg.chunk_scale,
+                                          cfg.batch_size)
+    epoch_batches = grad_accum.loader_batches
+    if cfg.max_chunks > 0:
+        max_chunks = cfg.max_chunks
+    else:
+        max_chunks = max(int(math.floor(cfg.max_epochs * epoch_batches / chunk_batches)), 1)
+    log.info(f"Chunks of {chunk_batches} batches; training {max_chunks} chunks "
+             f"(~{max_chunks * chunk_batches / max(epoch_batches, 1):.1f} epochs)")
+
+    model_cfg = model_config_from_cfg(cfg, embedder)
+    model, params = create_decoder(model_cfg, target_tokenizer=embedder.target_tokenizer,
+                                   rng=jax.random.PRNGKey(cfg.seed))
+    pc = count_params(params, model_cfg)
+    unused_str = f" + {pc['unused']} unused" if pc["unused"] else ""
+    log.info(f"Decoder {model_cfg.model}: {pc['used']} params{unused_str}")
+
+    # Resume (ref train.py:1057-1101)
+    S = TrainLoopState(rng_seed=cfg.seed)
+    opt_arrays = None
+    ckpts = find_checkpoints(cfg)
+    if ckpts:
+        ckpt = load_checkpoint(ckpts[-1])
+        check_loaded_config(ckpt["cfg_flat"], config_to_flat(cfg))
+        params = ckpt["params"]
+        if cfg.load_train_state and ckpt["train_meta"].get("loop_state"):
+            S = TrainLoopState.from_dict(ckpt["train_meta"]["loop_state"])
+            opt_arrays = ckpt["opt_arrays"]
+            log.info(f"Resumed training state at chunk {S.chunk_id}")
+
+    noise = EmbeddingNoise.create(cfg.noise_scheme, embed_dim=embedder.embed_dim,
+                                  vec_norm=cfg.noise_vec_norm, angle_min=cfg.noise_angle_min,
+                                  angle_max=cfg.noise_angle_max, angle_std=cfg.noise_angle_std,
+                                  mix_ratio=cfg.noise_mix_ratio)
+    mean_shift = load_mean_shift(cfg, embedder)
+
+    mesh = None
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        n = len(jax.devices())
+        if cfg.batch_size % n == 0:
+            mesh = create_mesh()
+            log.info(f"Data-parallel training over {n} devices")
+        else:
+            log.warning(f"batch_size {cfg.batch_size} not divisible by {n} devices => "
+                        f"falling back to single-device training")
+
+    run_dir = make_run_dir(cfg)
+    stamp = os.path.basename(run_dir)[len("ovod_"):]
+    metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb,
+                            project=cfg.wandb_project, config=config_to_flat(cfg))
+
+    C = TrainLoopConfig(
+        chunk_batches=chunk_batches, chunk_samples=chunk_batches * cfg.batch_size,
+        epoch_batches=epoch_batches, max_chunks=max_chunks, batch_size=cfg.batch_size,
+        accum_size=cfg.accum_factor, gradient_clip=cfg.gradient_clip,
+        loss_ewa_halflife=cfg.loss_ewa_halflife, save_every_min=cfg.save_every_min,
+        save_every_max=cfg.save_every_max, save_top1_min=cfg.save_top1_min / 100.0,
+        save_top1_delta=cfg.save_top1_delta / 100.0, init_lr=cfg.init_lr,
+        final_lr=cfg.final_lr, lr_scheduler=cfg.lr_scheduler, lr_warmup=cfg.lr_warmup)
+
+    def save_fn(chunk_id, state, loop_state):
+        path = os.path.join(run_dir, f"ovod_chunk{chunk_id:04d}_{stamp}.npz")
+        save_checkpoint(
+            path, params=jax.tree.map(np.asarray, state.params),
+            cfg_flat=config_to_flat(cfg), model_config=model_cfg,
+            target_config=embedder.target_config, data_config=dc.as_dict(),
+            target_nouns=dataset.targets, num_invalid_target_nouns=dataset.num_invalid_targets,
+            opt_state_arrays=extract_opt_state_arrays(state),
+            train_meta={"loop_state": loop_state.as_dict(), "chunk_id": chunk_id})
+        if cfg.save_torch_checkpoints:
+            try:
+                save_reference_checkpoint(
+                    path[:-4] + ".model", params=jax.tree.map(np.asarray, state.params),
+                    model_config=model_cfg, target_config=embedder.target_config,
+                    target_nouns=dataset.targets,
+                    num_invalid_target_nouns=dataset.num_invalid_targets,
+                    cfg_flat=config_to_flat(cfg), data_config=dc.as_dict())
+            except ImportError:
+                log.warning("torch unavailable => skipping reference-format checkpoint")
+        return path
+
+    with dataset.loaded():
+        state, S, ewa = train(
+            model=model, params=params, dataset=dataset, loader=grad_accum.loader(),
+            loader_info=info, C=C, S=S, noise=noise, mean_shift=mean_shift,
+            multi_first=dc.multi_first, beta1=cfg.beta1, beta2=cfg.beta2,
+            weight_decay=cfg.weight_decay, weight_decay_1d=cfg.weight_decay_1d,
+            opt_state_arrays=opt_arrays, metrics=metrics, save_fn=save_fn, mesh=mesh)
+    metrics.finish()
+    log.info(f"Training finished: loss {ewa.loss:.4e}, top1 {ewa.top1:.3%} "
+             f"(max {ewa.top1_max:.3%}); run dir {run_dir}")
+    return state, S, ewa
+
+
+def action_fix_checkpoints(cfg):
+    """Retrofit target_nouns into legacy checkpoints missing them
+    (ref train.py:1487-1643)."""
+    import glob
+
+    output_dir = os.path.expanduser(cfg.output_dir)
+    fixed = scanned = 0
+    for path in sorted(glob.glob(os.path.join(output_dir, "ovod_*", "*.npz"))):
+        scanned += 1
+        try:
+            ckpt = load_checkpoint(path)
+        except Exception as e:
+            log.warning(f"Skipping unreadable checkpoint {path}: {e}")
+            continue
+        if ckpt["target_nouns"]:
+            continue
+        embedder = load_embedder(cfg, load_model=False)
+        dataset = load_embedding_dataset(cfg, embedder, training=True)
+        save_checkpoint(path, params=ckpt["params"], cfg_flat=ckpt["cfg_flat"],
+                        model_config=ckpt["model_config"], target_config=ckpt["target_config"],
+                        data_config=ckpt["data_config"], target_nouns=dataset.targets,
+                        num_invalid_target_nouns=dataset.num_invalid_targets,
+                        opt_state_arrays=ckpt["opt_arrays"], train_meta=ckpt["train_meta"])
+        fixed += 1
+        log.info(f"Fixed checkpoint: {path}")
+    log.info(f"fix_checkpoints: scanned {scanned}, fixed {fixed}")

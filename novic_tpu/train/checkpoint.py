@@ -181,8 +181,11 @@ def save_checkpoint(
 
     arrays = {f"params.{k}": np.asarray(v) for k, v in flatten_dict(
         jax.tree.map(np.asarray, params)).items()}
-    if opt_state_arrays:
-        arrays.update({f"opt.{k}": np.asarray(v) for k, v in flatten_dict(opt_state_arrays).items()})
+    if opt_state_arrays is not None:
+        # Optimizer state is an arbitrary optax pytree: store its leaves in
+        # deterministic tree-flatten order (restored against the live treedef)
+        leaves = jax.tree.leaves(opt_state_arrays)
+        arrays.update({f"opt.{i:05d}": np.asarray(v) for i, v in enumerate(leaves)})
     meta = {
         "format": "novic_tpu.checkpoint.v1",
         "cfg_flat": cfg_flat,
@@ -208,11 +211,12 @@ def load_checkpoint(path: str) -> dict:
     if meta.get("format") != "novic_tpu.checkpoint.v1":
         raise ValueError(f"Unsupported checkpoint format in {path}")
     params_flat = {k[len("params."):]: data[k] for k in data.files if k.startswith("params.")}
-    opt_flat = {k[len("opt."):]: data[k] for k in data.files if k.startswith("opt.")}
+    opt_keys = sorted(k for k in data.files if k.startswith("opt."))
+    opt_leaves = [data[k] for k in opt_keys] or None
     return {
         "meta": meta,
         "params": unflatten_dict(params_flat),
-        "opt_arrays": unflatten_dict(opt_flat) if opt_flat else None,
+        "opt_arrays": opt_leaves,
         "model_config": DecoderModelConfig.from_dict(meta["model_config"]),
         "target_config": TargetConfig.from_jsonable(meta["target_config"]),
         "target_nouns": tuple(meta["target_nouns"]),

@@ -245,7 +245,8 @@ def extract_opt_state_arrays(state: TrainState):
 
 
 def restore_opt_state(state: TrainState, arrays) -> TrainState:
-    """Restore the optimizer state structure from checkpointed arrays."""
-    flat_new = jax.tree.leaves(arrays)
+    """Restore the optimizer state structure from checkpointed leaf arrays
+    (list in tree-flatten order, or a matching pytree)."""
+    flat_new = arrays if isinstance(arrays, list) else jax.tree.leaves(arrays)
     treedef = jax.tree.structure(state.opt_state)
     return state.replace(opt_state=jax.tree.unflatten(treedef, flat_new))

@@ -52,6 +52,16 @@ def resolve_path_tags(path: str, *, image_dir: str | None = None, embedder_spec:
     return os.path.expanduser(path)
 
 
+_SCI_FLOAT = __import__("re").compile(r"^[-+]?(\d+\.?\d*|\.\d+)[eE][-+]?\d+$")
+
+
+def _coerce_scalar(value: Any) -> Any:
+    # PyYAML 1.1 misses dot-less scientific notation ('3e-3' → str); coerce it.
+    if isinstance(value, str) and _SCI_FLOAT.match(value):
+        return float(value)
+    return value
+
+
 def parse_override(override: str) -> tuple[str, Any]:
     """Parse a single ``dotted.key=value`` override; value is YAML-parsed."""
     if "=" not in override:
@@ -60,7 +70,7 @@ def parse_override(override: str) -> tuple[str, Any]:
     key = key.strip()
     if not key:
         raise ValueError(f"Config override has empty key: {override}")
-    value = yaml.safe_load(raw) if raw != "" else None
+    value = _coerce_scalar(yaml.safe_load(raw)) if raw != "" else None
     return key, value
 
 

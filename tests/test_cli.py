@@ -1,0 +1,107 @@
+"""CLI action integration: cache → test actions → train → resume → eval →
+infer → format_preds, all through the public dispatcher (the reference's
+train.py action surface, SURVEY.md §2.10)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from novic_tpu.cli.train import main
+
+VOCAB = [
+    {"id": 0, "target_noun": "dog", "pretty_noun": "Dog", "singulars": ["dog"],
+     "plurals": ["dogs"], "singulars_freq": [2], "plurals_freq": [1], "hypernyms": []},
+    {"id": 1, "target_noun": "cat", "pretty_noun": "Cat", "singulars": ["cat"],
+     "plurals": ["cats"], "singulars_freq": [2], "plurals_freq": [1], "hypernyms": []},
+    {"id": 2, "target_noun": "fire truck", "pretty_noun": "Fire Truck",
+     "singulars": ["fire truck"], "plurals": ["fire trucks"],
+     "singulars_freq": [1], "plurals_freq": [1], "hypernyms": []},
+    {"id": 3, "target_noun": "apple", "pretty_noun": "Apple", "singulars": ["apple"],
+     "plurals": ["apples"], "singulars_freq": [1], "plurals_freq": [1], "hypernyms": []},
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    with open(d / "vocab.json", "w") as f:
+        json.dump(VOCAB, f)
+    return d
+
+
+def common_args(workdir):
+    return ["embedder=test:32", f"vocab_path={workdir}/vocab.json", "prompt_path=",
+            "prompt_collection=Basic", "hypernym_collection=None", "seed=1",
+            f"output_dir={workdir}/outputs"]
+
+
+def test_cli_help():
+    assert main(["--help"]) is None
+
+
+def test_cli_unknown_action(workdir):
+    with pytest.raises(ValueError, match="Unknown action"):
+        main(["action=bogus"] + common_args(workdir))
+
+
+def test_cli_test_embed_cache(workdir):
+    main(["action=test_embed_cache"] + common_args(workdir))
+
+
+def test_cli_full_pipeline(workdir):
+    args = common_args(workdir)
+    cache = f"{workdir}/noun_cache.bin"
+    main(["action=cache_noun_dataset", f"save_embedding_cache={cache}"] + args)
+    assert os.path.exists(cache)
+
+    main(["action=test_data_loader", f"embedding_dataset={cache}",
+          "batch_size=7", "accum_factor=3"] + args)
+
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    state, S, ewa = main(["action=train", f"embedding_dataset={cache}", "chunk_scale=4",
+                          "max_chunks=3", "init_lr=3e-3", "save_every_max=2",
+                          "save_top1_min=200"] + model_args + args)
+    assert S.chunk_id == 4
+    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    assert ckpts
+
+    # Resume from the checkpoint continues the chunk counter
+    state2, S2, _ = main(["action=train", f"embedding_dataset={cache}",
+                          f"load_model={ckpts[-1]}", "chunk_scale=4", "max_chunks=5",
+                          "init_lr=3e-3", "save_every_max=100", "save_top1_min=200"]
+                         + model_args + args)
+    assert S2.chunk_id == 6
+
+    results = main(["action=eval", f"embedding_dataset={cache}",
+                    f"load_model={ckpts[-1]}"] + model_args + args)
+    (_, res), = [(k, v) for k, v in results.items()]
+    assert res["loss"] > 0
+
+    preds_path = f"{workdir}/preds.json"
+    out = main(["action=infer", f"load_model={ckpts[-1]}",
+                "gencfg=beam_k2_vnone_gr_t1_a0",
+                "infer_texts=[a photo of a dog, a photo of a cat]",
+                f"predictions_path={preds_path}"] + model_args + args)
+    assert os.path.exists(preds_path)
+    assert out["version"] == 1 and len(out["keys"]) == 2
+
+    # Score against a synthetic annotation file
+    ann_path = f"{workdir}/annotations.json"
+    model_name = list(out["models"])[0]
+    g = list(out["models"][model_name]["gencfgs"])[0]
+    first_preds = out["models"][model_name]["gencfgs"][g]["pred"]
+    annotations = {"a photo of a dog": {"correct_primary": [first_preds[0][0]]},
+                   "a photo of a cat": {"close_primary": [first_preds[1][0]]}}
+    with open(ann_path, "w") as f:
+        json.dump(annotations, f)
+    rows = main(["action=format_preds", f"predictions_path={preds_path}",
+                 f"annotations_paths=[{ann_path}]", "format_mode=model_max_v1"] + args)
+    assert rows and abs(rows[0][2] - (1.0 + 0.5) / 2) < 1e-9
+
+
+def test_cli_format_metrics(workdir):
+    rows = main(["action=format_metrics"] + common_args(workdir))
+    assert isinstance(rows, list) and rows  # train runs above wrote metrics.jsonl
