@@ -1,0 +1,143 @@
+"""Offline tooling tests: caption templatization, captions validation,
+annotation voting/batching, annotation GUI state machine, specificity scoring."""
+
+import json
+
+import pytest
+
+from novic_tpu.tools.annotate_gui import AnnotationSession
+from novic_tpu.tools.caption_check import check_captions
+from novic_tpu.tools.caption_generation import (
+    caption_quota,
+    extract_templates,
+    noun_complete,
+    prepare_state,
+    templatize_caption,
+)
+from novic_tpu.tools.gpt_annotation import (
+    CATEGORIES,
+    OpinionState,
+    build_batch_requests,
+    estimate_batch_cost,
+    finalize_annotations,
+    parse_category,
+)
+from novic_tpu.tools.specificity import specificity_score
+
+
+def test_templatize_caption():
+    assert templatize_caption("A dog runs in the park", ["dog"], "singular") == \
+        "A {singular} runs in the park"
+    assert templatize_caption("The dog's toy is red", ["dog"], "singular") == \
+        "The {singular}'s toy is red"
+    # Trailing punctuation stripped (the captions cache writer re-appends '.')
+    assert templatize_caption("I saw a dog.", ["dog"], "singular") == "I saw a {singular}"
+    assert templatize_caption("I love my dog,", ["dog"], "singular") == "I love my {singular}"
+    # No match
+    assert templatize_caption("A cat sits", ["dog"], "singular") is None
+    # Case insensitive, word boundary (no match inside 'dogma')
+    assert templatize_caption("Dogma is not an animal", ["dog"], "singular") is None
+    assert templatize_caption("DOG in snow", ["dog"], "singular") == "{singular} in snow"
+
+
+def test_caption_quota_and_state():
+    assert caption_quota(3) == 30
+    assert caption_quota(50) == 100  # capped at 10
+    state = prepare_state([{"id": 0, "target_noun": "dog", "pretty_noun": "Dog",
+                            "singulars": ["dog"], "plurals": ["dogs"],
+                            "singulars_freq": [2], "plurals_freq": [1]}],
+                          captions_per_freq=2)
+    e = state[0]
+    assert e["num_singular_captions"] == 4 and e["num_plural_captions"] == 2
+    assert not noun_complete(e)
+    added, dups = extract_templates(e, ["A dog runs", "Two dogs play", "A dog runs",
+                                        "cat here"])
+    assert added == 2 and dups == 1
+    assert e["singular_captions"] == ["A {singular} runs"]
+    assert e["plural_captions"] == ["Two {plural} play"]
+
+
+def test_check_captions():
+    good = [{"target_noun": "dog",
+             "singular_captions": ["A {singular} runs."],
+             "plural_captions": ["Two {plural} play."]}]
+    assert check_captions(good)["issues"] == []
+    bad = [{"target_noun": "dog",
+            "singular_captions": ["no placeholder", "A {singular} and {plural}.",
+                                  "dup {singular}", "dup {singular}", "bad  space {singular}"],
+            "plural_captions": ["ends with comma {plural},", "ünïcode {plural}"]}]
+    issues = check_captions(bad)["issues"]
+    assert len(issues) >= 5
+
+
+def test_opinion_voting():
+    s = OpinionState()
+    assert s.needs_opinion
+    s.add("correct_primary")
+    s.add("correct_primary")
+    assert s.needs_opinion  # < MIN_OPINIONS
+    s.add("correct_primary")
+    assert s.decided and s.leader == "correct_primary" and s.confidence == 1.0
+    # Split vote: below confidence → more opinions up to MAX
+    s2 = OpinionState(opinions=["correct_primary", "incorrect", "close_primary"])
+    assert s2.needs_opinion  # confidence 1/3 < 0.78
+    s2.add("incorrect")
+    assert s2.needs_opinion  # 2/4 = 0.5
+    s2.add("incorrect")
+    assert s2.decided  # hit MAX_OPINIONS
+    assert s2.leader == "incorrect"
+    with pytest.raises(ValueError):
+        s2.add("bogus")
+
+
+def test_finalize_and_batch():
+    states = {("img1.jpg", "dog"): OpinionState(opinions=["correct_primary"] * 3),
+              ("img1.jpg", "cat"): OpinionState(opinions=["incorrect"] * 3),
+              ("img2.jpg", "tree"): OpinionState(opinions=["close_primary"] * 3)}
+    ann = finalize_annotations(states)
+    assert ann["img1.jpg"]["correct_primary"] == ["dog"]
+    assert ann["img1.jpg"]["incorrect"] == ["cat"]
+    assert ann["img2.jpg"]["close_primary"] == ["tree"]
+
+    reqs = build_batch_requests([("/x/img1.jpg", "dog")])
+    assert reqs[0]["custom_id"].startswith("img1.jpg::dog")
+    assert "dog" in reqs[0]["body"]["messages"][0]["content"][0]["text"]
+    assert estimate_batch_cost(1000) > 0
+    assert parse_category(" Correct_Primary\n") == "correct_primary"
+    assert parse_category("definitely incorrect") == "incorrect"
+    assert parse_category("no idea") is None
+
+
+def test_annotation_session(tmp_path):
+    pairs = [("/a/img1.jpg", "dog"), ("/a/img2.jpg", "cat"), ("/a/img3.jpg", "tree")]
+    s = AnnotationSession(pairs)
+    assert s.apply_key("q")  # img1 correct_primary
+    assert s.apply_key("i")  # img2 incorrect
+    assert s.current == ("/a/img3.jpg", "tree")
+    assert s.apply_key("u")  # undo img2
+    assert s.current == ("/a/img2.jpg", "cat")
+    assert s.apply_key("p")  # close_secondary
+    assert s.apply_key("s")  # skip img3
+    assert s.done
+    assert s.annotations == {"img1.jpg": {"correct_primary": ["dog"]},
+                             "img2.jpg": {"close_secondary": ["cat"]}}
+    path = str(tmp_path / "ann.json")
+    s.save(path)
+    # Resume skips annotated pairs
+    with open(path) as f:
+        s2 = AnnotationSession(pairs, json.load(f))
+    assert s2.current == ("/a/img3.jpg", "tree")
+    # Invalid key ignored
+    assert not s2.apply_key("z")
+
+
+def test_specificity_score():
+    preds = {"keys": ["/d/img1.jpg", "/d/img2.jpg"],
+             "models": {"m": {"gencfgs": {"g": {"pred": [["dog"], ["cat"]],
+                                                "score": [[0.0], [0.0]],
+                                                "result": [["invalid"], ["invalid"]]}}}}}
+    anns = {"img1.jpg": {"correct_primary": ["dog"]},
+            "img2.jpg": {"close_primary": ["cat"]}}
+    spec = {"dog": 0.9, "cat": 1.0}
+    scores = specificity_score(preds, anns, spec)
+    assert abs(scores[("m", "g")] - (1.0 * 0.9 + 0.5 * 1.0) / 2) < 1e-9
