@@ -271,3 +271,60 @@ def test_noise_factory_and_mean_shift():
     shift = jax.numpy.ones((16,)) * 0.1
     out = np.asarray(noise_mod.apply_mean_shift(embed, shift))
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_native_scatter_pwrite(tmp_path):
+    """Native C++ scatter-pwrite produces byte-identical caches to the Python
+    path and is available in this environment (g++ is baked in)."""
+    from novic_tpu.data import native
+
+    lib = native.get_lib()
+    assert lib is not None, "native cache I/O should build with the baked-in g++"
+    # Write the same shuffled cache twice: native vs forced-Python fallback
+    embeds = unit_rows(40)
+    paths = []
+    for mode in ("native", "python"):
+        path = str(tmp_path / f"nat_{mode}.bin")
+        paths.append(path)
+        if mode == "python":
+            native._lib, native._tried = None, True  # force fallback
+        try:
+            with EmbeddingCacheWriter(path, num_embed=40, embed_dim=F, use_targets=False,
+                                      embedder_strict=False, seed=42) as w:
+                for i in range(0, 40, 16):
+                    w.write(embeds[i:i + 16])
+        finally:
+            if mode == "python":
+                native._lib, native._tried = lib, True  # restore
+    with open(paths[0], "rb") as a, open(paths[1], "rb") as b:
+        assert a.read() == b.read(), "native and python cache bytes differ"
+
+
+def test_native_scatter_speed(tmp_path):
+    """The native path beats the per-row Python loop on a scatter-heavy write."""
+    import time
+
+    from novic_tpu.data import native
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("no native lib")
+    n = 20000
+    embeds = unit_rows(n, 64, seed=9)
+
+    def build(path, force_python):
+        if force_python:
+            native._lib, native._tried = None, True
+        try:
+            t0 = time.perf_counter()
+            with EmbeddingCacheWriter(path, num_embed=n, embed_dim=64, use_targets=False,
+                                      embedder_strict=False, seed=7) as w:
+                w.write(embeds)
+            return time.perf_counter() - t0
+        finally:
+            native._lib, native._tried = lib, True
+
+    t_native = build(str(tmp_path / "fast.bin"), False)
+    t_python = build(str(tmp_path / "slow.bin"), True)
+    # Not a strict benchmark (1-core box) but native should never be slower
+    assert t_native <= t_python * 1.5, f"native {t_native:.3f}s vs python {t_python:.3f}s"
