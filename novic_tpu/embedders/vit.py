@@ -60,6 +60,7 @@ class VisionTowerConfig:
     proj_bias: bool = False        # projection bias (SigLIP head uses bias inside MAP)
     layer_norm_eps: float = 1e-5   # CLIP 1e-5, SigLIP 1e-6
     compute_dtype: str = "bfloat16"
+    use_pallas_attention: bool = False  # fused VMEM attention kernel (novic_tpu.ops.attention)
 
     @property
     def grid(self) -> int:
@@ -90,6 +91,7 @@ class TextTowerConfig:
     proj_bias: bool = False        # CLIP text_projection no bias; SigLIP head yes
     layer_norm_eps: float = 1e-5
     compute_dtype: str = "bfloat16"
+    use_pallas_attention: bool = False  # fused VMEM attention kernel (novic_tpu.ops.attention)
 
     @property
     def mlp_dim(self) -> int:
@@ -126,6 +128,7 @@ class TowerAttention(nn.Module):
     width: int
     heads: int
     compute_dtype: str
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None,
@@ -149,6 +152,17 @@ class TowerAttention(nn.Module):
         q = tower_dense(x, wq, bq, dt).reshape(B, Sq, H, hd)
         k = tower_dense(src, wk, bk, dt).reshape(B, Sk, H, hd)
         v = tower_dense(src, wv, bv, dt).reshape(B, Sk, H, hd)
+        if self.use_pallas and kv is None:
+            # Fused VMEM attention kernel (self-attention only; the MAP head's
+            # 1-query cross-attention stays on the XLA path)
+            from novic_tpu.ops.attention import fused_attention
+
+            sq_bias = None
+            if attn_bias is not None:
+                sq_bias = jnp.broadcast_to(attn_bias, (Sq, Sk)).astype(jnp.float32)
+            out = fused_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                                  v.astype(jnp.float32), sq_bias)
+            return tower_dense(out.reshape(B, Sq, E), wo, bo, dt)
         scale = 1.0 / math.sqrt(hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(jnp.dtype(dt)),
                             k.astype(jnp.dtype(dt)), preferred_element_type=jnp.float32,
@@ -171,6 +185,7 @@ class TowerBlock(nn.Module):
     act: str
     eps: float
     compute_dtype: str
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -188,7 +203,7 @@ class TowerBlock(nn.Module):
 
         h = f32_layer_norm(x, n1w, n1b, self.eps)
         x = x + TowerAttention(width=E, heads=self.heads, compute_dtype=self.compute_dtype,
-                               name="attn")(h, attn_bias)
+                               use_pallas=self.use_pallas, name="attn")(h, attn_bias)
         h = f32_layer_norm(x, n2w, n2b, self.eps)
         h = tower_dense(h, w1, b1, self.compute_dtype)
         h = act(h)
@@ -237,7 +252,7 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.layers):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
-                           name=f"blocks_{i}")(x)
+                           use_pallas=cfg.use_pallas_attention, name=f"blocks_{i}")(x)
 
         postw = self.param("post_ln_weight", nn.initializers.ones, (E,))
         postb = self.param("post_ln_bias", nn.initializers.zeros, (E,))
@@ -304,7 +319,7 @@ class TextTransformer(nn.Module):
         for li in range(cfg.layers):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
-                           name=f"blocks_{li}")(x, attn_bias)
+                           use_pallas=cfg.use_pallas_attention, name=f"blocks_{li}")(x, attn_bias)
 
         fw = self.param("final_ln_weight", nn.initializers.ones, (E,))
         fb = self.param("final_ln_bias", nn.initializers.zeros, (E,))
