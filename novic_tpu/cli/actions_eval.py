@@ -177,6 +177,9 @@ def action_eval(cfg):
             loss_sum = loss_basis = 0.0
             tok_correct = tok_total = 0.0
             noun_correct = noun_total = 0
+            Cmax = decoder.cfg.token_length
+            pos_correct = np.zeros(Cmax)
+            pos_total = np.zeros(Cmax)
             batches = 0
             with dataset.loaded():
                 for embed, target, mask, weight in loader:
@@ -191,6 +194,11 @@ def action_eval(cfg):
                     loss_basis += float(lb)
                     tok_correct += correct.sum()
                     tok_total += correct.size - (0 if pad_arr is None else pad_arr.sum())
+                    # Per-seq-position token top-1 (ref train.py:1650-1868 tables)
+                    C = correct.shape[-1]
+                    pos_correct[:C] += correct.sum(axis=0)
+                    pos_total[:C] += (correct.shape[0] if pad_arr is None
+                                      else (~pad_arr).sum(axis=0))
                     # whole-noun top-1: all non-padded tokens of a sample correct
                     ok = correct | (pad_arr if pad_arr is not None else False)
                     noun_correct += int(ok.all(axis=-1).sum())
@@ -198,12 +206,16 @@ def action_eval(cfg):
                     batches += 1
                     if cfg.eval_batches and batches >= cfg.eval_batches:
                         break
+            pos_top1 = [float(c / t) if t > 0 else None
+                        for c, t in zip(pos_correct, pos_total)]
             res = {"loss": loss_sum / max(loss_basis, 1e-9),
                    "token_top1": tok_correct / max(tok_total, 1e-9),
-                   "noun_top1": noun_correct / max(noun_total, 1)}
+                   "noun_top1": noun_correct / max(noun_total, 1),
+                   "pos_top1": pos_top1}
+            pos_str = " ".join(f"{p:.1%}" if p is not None else "-" for p in pos_top1)
             log.info(f"eval[{os.path.basename(ckpt_path)} @ {spec}]: "
                      f"loss {res['loss']:.4e}, token top1 {res['token_top1']:.3%}, "
-                     f"noun top1 {res['noun_top1']:.3%}")
+                     f"noun top1 {res['noun_top1']:.3%}, per-pos [{pos_str}]")
             results[(ckpt_path, spec)] = res
     return results
 

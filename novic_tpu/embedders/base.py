@@ -287,6 +287,14 @@ class JaxEmbedder(Embedder):
 
     # -- model lifecycle -------------------------------------------------------
 
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel inference over a Mesh('data'): params replicated,
+        image/text batches sharded on axis 0 (new TPU-first capability; the
+        reference is single-device, SURVEY.md §2.13)."""
+        self._mesh = mesh
+        if self.is_model_loaded():
+            self._install_jits()
+
     def load_model(self) -> bool:
         if self._vision_params is not None:
             return False
@@ -312,9 +320,28 @@ class JaxEmbedder(Embedder):
             self._text_params = jax.jit(self._text_model.init)({"params": rng_t}, dummy_tok)["params"]
             log.warning("No tower weights provided => using random initialization "
                         "(perf benchmarking / testing only)")
-        self._jit_image = jax.jit(lambda p, x: self._vision_model.apply({"params": p}, x))
-        self._jit_text = jax.jit(lambda p, t: self._text_model.apply({"params": p}, t))
+        self._install_jits()
         return True
+
+    def _install_jits(self):
+        import jax
+
+        mesh = getattr(self, "_mesh", None)
+        kwargs_v = {}
+        kwargs_t = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            sharded = NamedSharding(mesh, P("data"))
+            self._vision_params = jax.device_put(self._vision_params, replicated)
+            self._text_params = jax.device_put(self._text_params, replicated)
+            kwargs_v = dict(in_shardings=(replicated, sharded))
+            kwargs_t = dict(in_shardings=(replicated, sharded))
+        self._jit_image = jax.jit(lambda p, x: self._vision_model.apply({"params": p}, x),
+                                  **kwargs_v)
+        self._jit_text = jax.jit(lambda p, t: self._text_model.apply({"params": p}, t),
+                                 **kwargs_t)
 
     def unload_model(self) -> bool:
         if self._vision_params is None:
@@ -330,11 +357,15 @@ class JaxEmbedder(Embedder):
     # -- inference -------------------------------------------------------------
 
     def _pad_batch(self, x: np.ndarray, nominal: int) -> tuple[np.ndarray, int]:
-        """Pad the batch dim up to a fixed size to avoid per-shape recompiles."""
+        """Pad the batch dim up to a fixed size to avoid per-shape recompiles
+        (and to a multiple of the mesh size under data-parallel inference)."""
         b = x.shape[0]
-        if b >= nominal or b == 0:
+        mesh = getattr(self, "_mesh", None)
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        target = -(-max(b, nominal) // n_dev) * n_dev
+        if b >= target or b == 0:
             return x, b
-        pad = np.zeros((nominal - b,) + x.shape[1:], dtype=x.dtype)
+        pad = np.zeros((target - b,) + x.shape[1:], dtype=x.dtype)
         return np.concatenate([x, pad], axis=0), b
 
     def inference_tokens(self, tokens_dict: dict) -> np.ndarray:
