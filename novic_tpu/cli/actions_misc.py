@@ -151,21 +151,48 @@ def action_sample_images(cfg):
 
 
 def action_convert_embedder(cfg):
-    """Convert an HF CLIP/SigLIP checkpoint to .npz tower weights (new; the
-    reference loads weights live through clip/open_clip/transformers)."""
-    import transformers
+    """Convert CLIP/SigLIP weights to .npz tower weights (new; the reference
+    loads weights live through clip/open_clip/transformers).
 
-    from novic_tpu.embedders.convert import convert_hf_model, save_params_npz
+    Two input modes:
+    * load_model=<path to open_clip_pytorch_model.bin / .pt> — a local
+      open_clip-format torch checkpoint (the format the released timm-SigLIP /
+      DFN5B backbones ship in);
+    * otherwise the embedder spec's model id is fetched via transformers
+      (HF-format CLIPModel/SiglipModel; needs network or a local HF cache).
+    """
+    from novic_tpu.embedders.convert import (
+        convert_hf_model,
+        convert_openclip_state_dict,
+        save_params_npz,
+    )
+    from novic_tpu.embedders.registry import lookup
 
     spec = cfg.embedder
     if ":" not in spec:
         raise ValueError(f"Invalid embedder spec: {spec}")
-    _, model_id = spec.split(":", 1)
     out_path = resolve_path(cfg, cfg.embedder_weights)
     if not out_path:
         raise ValueError("convert_embedder requires embedder_weights (output .npz path)")
-    model = transformers.AutoModel.from_pretrained(model_id)
-    family = "siglip" if "siglip" in type(model).__name__.lower() else "clip"
-    v, t = convert_hf_model(model, family)
+
+    if cfg.load_model:
+        import torch
+
+        arch = lookup(spec)
+        sd = torch.load(resolve_path(cfg, cfg.load_model), map_location="cpu",
+                        weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        v, t = convert_openclip_state_dict(sd, arch.family, arch.vision.layers,
+                                           arch.text.layers)
+        src = cfg.load_model
+    else:
+        import transformers
+
+        _, model_id = spec.split(":", 1)
+        model = transformers.AutoModel.from_pretrained(model_id)
+        family = "siglip" if "siglip" in type(model).__name__.lower() else "clip"
+        v, t = convert_hf_model(model, family)
+        src = model_id
     save_params_npz(out_path, v, t)
-    log.info(f"Converted {model_id} ({family}) → {out_path}")
+    log.info(f"Converted {src} → {out_path}")

@@ -162,3 +162,153 @@ def load_params_npz(path: str) -> tuple[dict, dict]:
     flat_v = {k[len("vision."):]: data[k] for k in data.files if k.startswith("vision.")}
     flat_t = {k[len("text."):]: data[k] for k in data.files if k.startswith("text.")}
     return unflatten_dict(flat_v), unflatten_dict(flat_t)
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP-format state dicts (the released backbones — timm SigLIP, DFN5B —
+# ship open_clip_pytorch_model.bin with open_clip naming, not HF naming)
+# ---------------------------------------------------------------------------
+
+
+def _openclip_block(sd: dict, prefix: str) -> dict:
+    """open_clip ResidualAttentionBlock → TowerBlock params (packed qkv split)."""
+    in_w = _np(sd[f"{prefix}.attn.in_proj_weight"])
+    in_b = _np(sd[f"{prefix}.attn.in_proj_bias"])
+    E = in_w.shape[1]
+    return {
+        "norm1_weight": _np(sd[f"{prefix}.ln_1.weight"]),
+        "norm1_bias": _np(sd[f"{prefix}.ln_1.bias"]),
+        "norm2_weight": _np(sd[f"{prefix}.ln_2.weight"]),
+        "norm2_bias": _np(sd[f"{prefix}.ln_2.bias"]),
+        "fc1_weight": _np(sd[f"{prefix}.mlp.c_fc.weight"]),
+        "fc1_bias": _np(sd[f"{prefix}.mlp.c_fc.bias"]),
+        "fc2_weight": _np(sd[f"{prefix}.mlp.c_proj.weight"]),
+        "fc2_bias": _np(sd[f"{prefix}.mlp.c_proj.bias"]),
+        "attn": {
+            "q_proj_weight": in_w[:E], "q_proj_bias": in_b[:E],
+            "k_proj_weight": in_w[E:2 * E], "k_proj_bias": in_b[E:2 * E],
+            "v_proj_weight": in_w[2 * E:], "v_proj_bias": in_b[2 * E:],
+            "out_proj_weight": _np(sd[f"{prefix}.attn.out_proj.weight"]),
+            "out_proj_bias": _np(sd[f"{prefix}.attn.out_proj.bias"]),
+        },
+    }
+
+
+def convert_openclip_clip_vision(state_dict: dict, num_layers: int) -> dict:
+    """open_clip CLIP visual tower (visual.*) → VisionTransformer params.
+
+    Note: open_clip applies the projection as ``pooled @ proj`` with proj of
+    shape (width, embed_dim); our proj_weight is torch-layout (out, in), so
+    proj_weight = proj.T.
+    """
+    sd = state_dict
+    conv_w = _np(sd["visual.conv1.weight"])  # (E,3,P,P)
+    E = conv_w.shape[0]
+    params = {
+        "patch_weight": conv_w.transpose(0, 2, 3, 1).reshape(E, -1),
+        "class_embedding": _np(sd["visual.class_embedding"]).reshape(-1),
+        "pos_embedding": _np(sd["visual.positional_embedding"]),
+        "pre_ln_weight": _np(sd["visual.ln_pre.weight"]),
+        "pre_ln_bias": _np(sd["visual.ln_pre.bias"]),
+        "post_ln_weight": _np(sd["visual.ln_post.weight"]),
+        "post_ln_bias": _np(sd["visual.ln_post.bias"]),
+        "proj_weight": _np(sd["visual.proj"]).T,
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _openclip_block(sd, f"visual.transformer.resblocks.{i}")
+    return params
+
+
+def convert_openclip_clip_text(state_dict: dict, num_layers: int) -> dict:
+    sd = state_dict
+    params = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "pos_embedding": _np(sd["positional_embedding"]),
+        "final_ln_weight": _np(sd["ln_final.weight"]),
+        "final_ln_bias": _np(sd["ln_final.bias"]),
+        "proj_weight": _np(sd["text_projection"]).T,
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _openclip_block(sd, f"transformer.resblocks.{i}")
+    return params
+
+
+def _timm_block(sd: dict, prefix: str) -> dict:
+    """timm ViT block (used by open_clip SigLIP visual trunks) → TowerBlock."""
+    qkv_w = _np(sd[f"{prefix}.attn.qkv.weight"])
+    qkv_b = _np(sd[f"{prefix}.attn.qkv.bias"])
+    E = qkv_w.shape[1]
+    return {
+        "norm1_weight": _np(sd[f"{prefix}.norm1.weight"]),
+        "norm1_bias": _np(sd[f"{prefix}.norm1.bias"]),
+        "norm2_weight": _np(sd[f"{prefix}.norm2.weight"]),
+        "norm2_bias": _np(sd[f"{prefix}.norm2.bias"]),
+        "fc1_weight": _np(sd[f"{prefix}.mlp.fc1.weight"]),
+        "fc1_bias": _np(sd[f"{prefix}.mlp.fc1.bias"]),
+        "fc2_weight": _np(sd[f"{prefix}.mlp.fc2.weight"]),
+        "fc2_bias": _np(sd[f"{prefix}.mlp.fc2.bias"]),
+        "attn": {
+            "q_proj_weight": qkv_w[:E], "q_proj_bias": qkv_b[:E],
+            "k_proj_weight": qkv_w[E:2 * E], "k_proj_bias": qkv_b[E:2 * E],
+            "v_proj_weight": qkv_w[2 * E:], "v_proj_bias": qkv_b[2 * E:],
+            "out_proj_weight": _np(sd[f"{prefix}.attn.proj.weight"]),
+            "out_proj_bias": _np(sd[f"{prefix}.attn.proj.bias"]),
+        },
+    }
+
+
+def convert_openclip_siglip_vision(state_dict: dict, num_layers: int) -> dict:
+    """open_clip timm-SigLIP visual trunk (visual.trunk.*) → VisionTransformer
+    params. The timm MAP head (attn_pool.latent/q/kv/proj/norm/mlp) maps onto
+    our map_* params with the packed kv split."""
+    sd = state_dict
+    t = "visual.trunk"
+    conv_w = _np(sd[f"{t}.patch_embed.proj.weight"])
+    E = conv_w.shape[0]
+    q_w = _np(sd[f"{t}.attn_pool.q.weight"])
+    q_b = _np(sd[f"{t}.attn_pool.q.bias"])
+    kv_w = _np(sd[f"{t}.attn_pool.kv.weight"])
+    kv_b = _np(sd[f"{t}.attn_pool.kv.bias"])
+    params = {
+        "patch_weight": conv_w.transpose(0, 2, 3, 1).reshape(E, -1),
+        "patch_bias": _np(sd[f"{t}.patch_embed.proj.bias"]),
+        "pos_embedding": _np(sd[f"{t}.pos_embed"]).reshape(-1, E),
+        "post_ln_weight": _np(sd[f"{t}.norm.weight"]),
+        "post_ln_bias": _np(sd[f"{t}.norm.bias"]),
+        "map_probe": _np(sd[f"{t}.attn_pool.latent"]).reshape(1, 1, E),
+        "map_attn": {
+            "q_proj_weight": q_w, "q_proj_bias": q_b,
+            "k_proj_weight": kv_w[:E], "k_proj_bias": kv_b[:E],
+            "v_proj_weight": kv_w[E:], "v_proj_bias": kv_b[E:],
+            "out_proj_weight": _np(sd[f"{t}.attn_pool.proj.weight"]),
+            "out_proj_bias": _np(sd[f"{t}.attn_pool.proj.bias"]),
+        },
+        "map_ln_weight": _np(sd[f"{t}.attn_pool.norm.weight"]),
+        "map_ln_bias": _np(sd[f"{t}.attn_pool.norm.bias"]),
+        "map_fc1_weight": _np(sd[f"{t}.attn_pool.mlp.fc1.weight"]),
+        "map_fc1_bias": _np(sd[f"{t}.attn_pool.mlp.fc1.bias"]),
+        "map_fc2_weight": _np(sd[f"{t}.attn_pool.mlp.fc2.weight"]),
+        "map_fc2_bias": _np(sd[f"{t}.attn_pool.mlp.fc2.bias"]),
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _timm_block(sd, f"{t}.blocks.{i}")
+    return params
+
+
+def convert_openclip_state_dict(state_dict: dict, family: str,
+                                num_vision_layers: int, num_text_layers: int
+                                ) -> tuple[dict, dict]:
+    """Full open_clip checkpoint → (vision_params, text_params)."""
+    if family == "clip":
+        return (convert_openclip_clip_vision(state_dict, num_vision_layers),
+                convert_openclip_clip_text(state_dict, num_text_layers))
+    if family == "siglip":
+        vision = convert_openclip_siglip_vision(state_dict, num_vision_layers)
+        # open_clip SigLIP text towers use HF naming under text.*
+        text_sd = {k[len("text."):]: v for k, v in state_dict.items()
+                   if k.startswith("text.")}
+        text = convert_siglip_text({f"text_model.{k}": v for k, v in text_sd.items()}
+                                   if not any(k.startswith("text_model.") for k in text_sd)
+                                   else text_sd, num_text_layers)
+        return vision, text
+    raise ValueError(f"Unsupported open_clip family: {family}")
