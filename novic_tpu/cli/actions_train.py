@@ -109,7 +109,9 @@ def action_train(cfg):
         loss_ewa_halflife=cfg.loss_ewa_halflife, save_every_min=cfg.save_every_min,
         save_every_max=cfg.save_every_max, save_top1_min=cfg.save_top1_min / 100.0,
         save_top1_delta=cfg.save_top1_delta / 100.0, init_lr=cfg.init_lr,
-        final_lr=cfg.final_lr, lr_scheduler=cfg.lr_scheduler, lr_warmup=cfg.lr_warmup)
+        final_lr=cfg.final_lr, lr_scheduler=cfg.lr_scheduler, lr_warmup=cfg.lr_warmup,
+        last_dropout_chunks=cfg.last_dropout_chunks,
+        last_dropout_factor=cfg.last_dropout_factor)
 
     def save_fn(chunk_id, state, loop_state):
         path = os.path.join(run_dir, f"ovod_chunk{chunk_id:04d}_{stamp}.npz")

@@ -52,6 +52,8 @@ class TrainLoopConfig:
     final_lr: float = 0.0
     lr_scheduler: str = "cosine"
     lr_warmup: int = 0
+    last_dropout_chunks: int = 0     # rescale dropout this many chunks before the end (0 = off)
+    last_dropout_factor: float = 0.0  # dropout rescale factor for the final chunks
 
 
 @dataclasses.dataclass
@@ -124,10 +126,25 @@ def train(
                         tuple(sharded for _ in range(4)),
                         None, None)
 
-    step = make_train_step(model, tx, noise=noise, mean_shift=mean_shift,
-                           gradient_clip=C.gradient_clip, accum_steps=C.accum_size,
-                           multi_first=multi_first,
-                           in_shardings=in_shardings)
+    def build_step(m):
+        return make_train_step(m, tx, noise=noise, mean_shift=mean_shift,
+                               gradient_clip=C.gradient_clip, accum_steps=C.accum_size,
+                               multi_first=multi_first,
+                               in_shardings=in_shardings)
+
+    def rescale_dropout_model(m, factor: float):
+        """Rebuild the model with rescaled dropout probabilities
+        (ref train.py:1215-1217,1363; utils.py:177-192)."""
+        cfg2 = m.cfg.replace(input_dropout=m.cfg.input_dropout * factor,
+                             layer_dropout=m.cfg.layer_dropout * factor)
+        return type(m)(cfg=cfg2)
+
+    dropout_trigger = (C.max_chunks - C.last_dropout_chunks + 1
+                       if C.last_dropout_chunks >= 1 else None)
+    if dropout_trigger is not None and S.chunk_id >= dropout_trigger:
+        model = rescale_dropout_model(model, C.last_dropout_factor)
+        dropout_trigger = None
+    step = build_step(model)
 
     schedule = lr_schedule_per_chunk(C.init_lr, C.final_lr, C.lr_scheduler, C.lr_warmup,
                                      C.max_chunks, start_chunk=S.chunk_id)
@@ -204,6 +221,13 @@ def train(
                 S.chunk_id += 1
                 if S.chunk_id >= C.max_chunks + 1:
                     stop_training = True
+
+                if dropout_trigger is not None and S.chunk_id >= dropout_trigger:
+                    log.info(f"Rescaling dropout by x{C.last_dropout_factor} for the "
+                             f"final {C.last_dropout_chunks} chunks")
+                    model = rescale_dropout_model(model, C.last_dropout_factor)
+                    step = build_step(model)
+                    dropout_trigger = None
 
                 # Checkpoint policy (ref train.py:1349-1361)
                 save_chunk_id = S.chunk_id - 1

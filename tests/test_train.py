@@ -156,3 +156,36 @@ def test_reference_torch_checkpoint_interop(setup, tmp_path):
     # Model config round-trips the architecture
     assert loaded["model_config"].hidden_dim == model.cfg.hidden_dim
     assert loaded["model_config"].num_layers == model.cfg.num_layers
+
+
+def test_accum_steps_equivalence(setup):
+    """In-step microbatch accumulation (lax.scan) produces the same update as
+    a single big batch when loss bases are uniform."""
+    import jax.numpy as jnp
+
+    from novic_tpu.train.optim import create_optimizer
+    from novic_tpu.train.step import create_train_state, make_train_step
+
+    tmp, tok, tc, tt, cache_path = setup
+    model, params = make_model(tc)
+    tx = create_optimizer(gradient_clip=0.0, weight_decay=0.0)
+
+    rng = np.random.default_rng(11)
+    B, C = 8, tc.token_length
+    embed = rng.normal(size=(B, F)).astype(np.float32)
+    embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+    # All samples same length → equal loss bases per microbatch → exact equivalence
+    target = np.zeros((B, C), np.int32)
+    target[:, :2] = rng.integers(1, tc.vocab_size, size=(B, 2))
+    mask = np.zeros((B, C), bool)
+    mask[:, 3:] = True
+    batch = (embed, target, mask, None)
+    key = jax.random.PRNGKey(0)
+
+    step1 = make_train_step(model, tx, gradient_clip=0.0, accum_steps=1, donate=False)
+    step2 = make_train_step(model, tx, gradient_clip=0.0, accum_steps=2, donate=False)
+    s1, m1 = step1(create_train_state(params, tx), batch, 1e-3, key)
+    s2, m2 = step2(create_train_state(params, tx), batch, 1e-3, key)
+    assert np.isclose(float(m1["loss_sum"]), float(m2["loss_sum"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
