@@ -223,6 +223,8 @@ class GenerationTask:
         if precompute_cache is not None:
             precompute_cache[key] = self.precompute
 
+    batch_pad: int = 0  # pad batches up to this size to avoid per-shape recompiles
+
     def generate(self, embeds: np.ndarray, *, precompute: bool = True,
                  precompute_cache: Optional[dict] = None):
         """→ (target BxKxC, padding BxKxC, scores BxK descending)."""
@@ -232,6 +234,14 @@ class GenerationTask:
         dec = self.decoder
         if precompute:
             self.ensure_precomputed(precompute_cache=precompute_cache)
+
+        true_b = embeds.shape[0]
+        if self.batch_pad and true_b < self.batch_pad:
+            pad = np.zeros((self.batch_pad - true_b, embeds.shape[1]), embeds.dtype)
+            pad[:, 0] = 1.0  # unit vectors so decode math stays well-conditioned
+            embeds = np.concatenate([np.asarray(embeds), pad], axis=0)
+            t, p, s = self.generate(embeds, precompute=False)
+            return t[:true_b], p[:true_b], s[:true_b]
 
         if dec.is_dud:
             if g.method == "greedy":
@@ -530,6 +540,7 @@ class NOVICModel:
             vocab_targets_set=set(vocab_strs), vocab_targets=vocab_ids,
             guide_targets_set=set(guide_strs),
             guide_targets=guide_ids if (self.gencfg.guided or self.gencfg.method == "all") else None)
+        self.task.batch_pad = self.batch_size  # one compile per gencfg, ragged tails padded
 
     # -- classification (ref infer.py:314-350) ----------------------------------
 
