@@ -93,10 +93,15 @@ def main():
     for _ in range(WARMUP):
         _ = np.asarray(pipeline(v_params, d_params, raw_dev))
 
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         _ = np.asarray(pipeline(v_params, d_params, raw_dev))
     elapsed = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     img_per_sec = BATCH * ITERS / elapsed
     result = {

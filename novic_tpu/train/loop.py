@@ -106,6 +106,7 @@ def train(
     metrics: Optional[MetricsLogger] = None,
     save_fn=None,                # callable(chunk_id, state, S) -> path, or None
     mesh=None,                   # optional jax Mesh for data parallelism
+    profile_dir: Optional[str] = None,  # capture a jax profiler trace of chunk 1
 ):
     """Run the training loop; returns (final TrainState, TrainLoopState, EWA metrics)."""
     S = S or TrainLoopState()
@@ -158,6 +159,10 @@ def train(
         S.epoch_id += 1
 
     stop_training = S.chunk_id >= C.max_chunks + 1
+    if profile_dir and not stop_training:
+        jax.profiler.start_trace(profile_dir)
+        log.info(f"Profiling chunk {S.chunk_id} to {profile_dir}")
+    profiling = bool(profile_dir) and not stop_training
     grad_norms: list[float] = []
     pending = None  # one-step delayed metrics fetch to overlap host/device
     start_time = time.perf_counter()
@@ -219,6 +224,9 @@ def train(
                 grad_norms.clear()
 
                 S.chunk_id += 1
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
                 if S.chunk_id >= C.max_chunks + 1:
                     stop_training = True
 
