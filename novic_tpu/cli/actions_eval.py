@@ -227,19 +227,27 @@ def action_eval(cfg):
 
 def action_eval_cls(cfg):
     """Per image: greedy prediction classified into Direct{Correct,Valid,Invalid}
-    × Guided{Correct,Incorrect} buckets."""
+    × Guided{Correct,Incorrect} buckets; optionally copies misclassified images
+    into per-bucket result dirs (ref train.py:2006-2050)."""
+    save_mis = bool(cfg.get("eval_cls_save_misclassified", False))
     embedder = load_embedder(cfg, load_model=True)
     ckpts = find_checkpoints(cfg)
     if not ckpts:
         raise ValueError("eval_cls requires load_model/load_models")
     ds = load_image_dataset(cfg.cls_dataset, resolve_path(cfg, cfg.cls_dataset_root),
-                            split=cfg.cls_split, variant=cfg.class_names_variant, clean=True)
+                            split=cfg.cls_split, variant=cfg.class_names_variant, clean=True,
+                            paths=save_mis)
     loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
                                   transform=embedder.get_image_transform(),
                                   shuffle=False)
     # Embed phase: embed dataset once, reuse per model (ref train.py:2244-2250)
-    embeds_list, labels_list = [], []
-    for pixel, labels in loader:
+    embeds_list, labels_list, paths_list = [], [], []
+    for batch in loader:
+        if save_mis:
+            pixel, labels, batch_paths = batch
+            paths_list.extend(batch_paths)
+        else:
+            pixel, labels = batch
         embeds_list.append(embedder.inference_image(pixel))
         labels_list.append(labels)
     all_embeds = np.concatenate(embeds_list)
@@ -262,6 +270,12 @@ def action_eval_cls(cfg):
             class_lists=class_targets)
         buckets = {f"direct_{d}_guided_{g}": 0
                    for d in ("correct", "valid", "invalid") for g in ("correct", "incorrect")}
+        mis_dir = None
+        if save_mis:
+            import shutil
+
+            mis_dir = os.path.join(make_run_dir(cfg), "misclassified",
+                                   os.path.basename(ckpt_path))
         B = cfg.batch_size_image
         for i in range(0, len(all_embeds), B):
             chunk = all_embeds[i:i + B]
@@ -270,10 +284,21 @@ def action_eval_cls(cfg):
             guided.process(chunk, class_indices=cls_idx)
             d_res = direct.result[:, 0]
             g_corr = guided.correct[:, 0]
-            for dr, gc in zip(d_res.tolist(), g_corr.tolist()):
+            for j, (dr, gc) in enumerate(zip(d_res.tolist(), g_corr.tolist())):
                 d = "correct" if dr == 0 else ("valid" if dr in (1, 2) else "invalid")
                 g = "correct" if gc else "incorrect"
                 buckets[f"direct_{d}_guided_{g}"] += 1
+                if mis_dir is not None and (d != "correct" or g != "correct"):
+                    import shutil
+
+                    src = paths_list[i + j]
+                    if src:
+                        bucket_dir = os.path.join(mis_dir, f"direct_{d}_guided_{g}")
+                        os.makedirs(bucket_dir, exist_ok=True)
+                        pred = direct.target_str[j][0].replace(" ", "_")
+                        dst = os.path.join(bucket_dir,
+                                           f"{pred}__{os.path.basename(src)}")
+                        shutil.copy2(src, dst)
         total = len(all_embeds)
         direct_top1 = direct.topk[0]
         guided_top1 = guided.topk[0]
