@@ -47,7 +47,8 @@ def action_train(cfg):
     embedder = load_embedder(cfg, load_model=False)
     dataset = load_embedding_dataset(cfg, embedder, training=True)
     dc = gen_data_config(cfg, dataset)
-    loader, info = dataset.create_loader(batch_size=cfg.batch_size, training=True, seed=cfg.seed)
+    loader, info = dataset.create_loader(batch_size=cfg.batch_size, training=True, seed=cfg.seed,
+                                         prefetch=cfg.loader_prefetch)
     grad_accum = GradAccum(loader, info, accum_size=cfg.accum_factor, drop_last=True)
 
     # Chunk math (ref train.py:990): chunk = num_valid_targets * chunk_scale samples
@@ -96,6 +97,14 @@ def action_train(cfg):
         else:
             log.warning(f"batch_size {cfg.batch_size} not divisible by {n} devices => "
                         f"falling back to single-device training")
+    # Overlap host→HBM transfer with compute: the prefetch thread device_puts
+    # batches under the training sharding while the device runs the prior step
+    if hasattr(loader, "device_put"):
+        loader.device_put = True
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            loader.sharding = NamedSharding(mesh, P("data"))
 
     run_dir = make_run_dir(cfg)
     stamp = os.path.basename(run_dir)[len("ovod_"):]

@@ -187,10 +187,16 @@ def train(
             lr = schedule(S.chunk_id)
             rng, k = jax.random.split(rng)
             embed, target, mask, weight = batch
-            batch_tuple = (np.ascontiguousarray(embed, dtype=np.float32),
-                           np.ascontiguousarray(target),
-                           None if mask is None else np.ascontiguousarray(mask),
-                           None if weight is None else np.ascontiguousarray(weight, dtype=np.float32))
+
+            def prep(x, dtype=None):
+                # Device arrays (from a device_put prefetch loader) pass through;
+                # host arrays are made contiguous for the transfer
+                if x is None or isinstance(x, jax.Array):
+                    return x
+                return np.ascontiguousarray(x, dtype=dtype) if dtype else np.ascontiguousarray(x)
+
+            batch_tuple = (prep(embed, np.float32), prep(target), prep(mask),
+                           prep(weight, np.float32))
             state, m = step(state, batch_tuple, lr, k)
             if pending is not None:
                 consume(pending)
