@@ -66,12 +66,16 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, S, H, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     Sp = -(-S // 128) * 128
+    # Mosaic tiling wants the lane (last) dim 128-aligned; zero-padding hd is
+    # free on the MXU (the systolic array is 128 wide regardless) and does not
+    # change q·kᵀ (zero columns) — v's padded outputs are sliced away below.
+    hdp = -(-hd // 128) * 128
 
     # (B,S,H,hd) → (B,H,S,hd) so the grid maps one (batch, head) per cell
     def to_bh(x):
         x = jnp.transpose(x, (0, 2, 1, 3))
-        if Sp != S:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        if Sp != S or hdp != hd:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Sp - S), (0, hdp - hd)))
         return x
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
@@ -84,7 +88,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if Sp != S:
             pad_bias = pad_bias.at[:, S:].set(-1e30)  # mask padded keys
 
-    spec = pl.BlockSpec((1, 1, Sp, hd), lambda b, h: (b, h, 0, 0),
+    spec = pl.BlockSpec((1, 1, Sp, hdp), lambda b, h: (b, h, 0, 0),
                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     bias_spec = pl.BlockSpec((Sp, Sp), lambda b, h: (0, 0),
                              memory_space=pltpu.ANY if interpret else pltpu.VMEM)
@@ -108,7 +112,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             grid=(B, H),
             in_specs=[spec, spec, spec],
             out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((B, H, Sp, hd), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, H, Sp, hdp), jnp.float32),
             interpret=interpret,
         )(qb, kb, vb)
     else:
@@ -117,11 +121,11 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             grid=(B, H),
             in_specs=[spec, spec, spec, bias_spec],
             out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((B, H, Sp, hd), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, H, Sp, hdp), jnp.float32),
             interpret=interpret,
         )(qb, kb, vb, pad_bias)
 
-    out = out[:, :, :S, :]
+    out = out[:, :, :S, :hd]
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
