@@ -13,6 +13,14 @@ Numerics match the towers' MXU strategy: scores accumulate in float32
 Enabled per tower via VisionTowerConfig/TextTowerConfig use_pallas_attention;
 validated against the XLA path in tests (interpret mode on CPU, compiled on
 TPU).
+
+Measured on a v5e chip (SigLIP-B/16, B=256, S=196, hd=64): XLA 133.8 ms/batch
+vs this kernel 216.3 ms/batch — XLA's fused attention wins at these shapes
+because this kernel (a) pads hd 64→128 for lane alignment (2× q/k/v/o HBM
+traffic) and (b) launches one grid cell per (batch, head) = 3072 small
+kernels. It therefore stays OFF by default; it is kept as the scaffold for
+shapes where a custom schedule does pay off (longer S towers, head-packed
+lanes) and as the in-repo Pallas reference.
 """
 
 from __future__ import annotations
