@@ -115,11 +115,14 @@ def tower_dense(x, w, b, compute_dtype):
     return y
 
 
-def f32_layer_norm(x, weight, bias, eps):
+def f32_layer_norm(x, weight, bias, eps, out_dtype=jnp.float32):
+    """LayerNorm computed in float32 (stability), emitted in out_dtype (the
+    residual stream runs in the compute dtype — matching the reference's
+    fp16/bf16 autocast inference, ref embedders.py:131-143)."""
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * weight + bias
+    return ((x - mean) * jax.lax.rsqrt(var + eps) * weight + bias).astype(out_dtype)
 
 
 class TowerAttention(nn.Module):
@@ -190,6 +193,7 @@ class TowerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         E = self.width
+        dt = jnp.dtype(self.compute_dtype)
         n1w = self.param("norm1_weight", nn.initializers.ones, (E,))
         n1b = self.param("norm1_bias", nn.initializers.zeros, (E,))
         n2w = self.param("norm2_weight", nn.initializers.ones, (E,))
@@ -201,14 +205,17 @@ class TowerBlock(nn.Module):
         b2 = self.param("fc2_bias", nn.initializers.zeros, (E,))
         act = _ACTS[self.act]
 
-        h = f32_layer_norm(x, n1w, n1b, self.eps)
-        x = x + TowerAttention(width=E, heads=self.heads, compute_dtype=self.compute_dtype,
-                               use_pallas=self.use_pallas, name="attn")(h, attn_bias)
-        h = f32_layer_norm(x, n2w, n2b, self.eps)
-        h = tower_dense(h, w1, b1, self.compute_dtype)
+        # Residual stream in the compute dtype; layernorms in f32 internally
+        x = x.astype(dt)
+        h = f32_layer_norm(x, n1w, n1b, self.eps, out_dtype=dt)
+        attn_out = TowerAttention(width=E, heads=self.heads, compute_dtype=self.compute_dtype,
+                                  use_pallas=self.use_pallas, name="attn")(h, attn_bias)
+        x = x + attn_out.astype(dt)
+        h = f32_layer_norm(x, n2w, n2b, self.eps, out_dtype=dt)
+        h = tower_dense(h, w1, b1, self.compute_dtype).astype(dt)
         h = act(h)
         h = tower_dense(h, w2, b2, self.compute_dtype)
-        return x + h
+        return x + h.astype(dt)
 
 
 class VisionTransformer(nn.Module):
