@@ -57,7 +57,7 @@ def main():
                                  patch_bias=True, pre_ln=False, pool="map", layer_norm_eps=1e-6)
         dcfg = DecoderModelConfig(embed_dim=768, vocab_size=4096, token_length=12,
                                   hidden_dim=512, feedfwd_scale="1/4", mlp_seq_len=4,
-                                  num_layers=6, num_heads=8)
+                                  num_layers=6, num_heads=8, compute_dtype="bfloat16")
         pcfg = PreprocessConfig(size=224, resize_mode="squash", mean=(0.5,) * 3, std=(0.5,) * 3)
 
     vision = VisionTransformer(cfg=vcfg)

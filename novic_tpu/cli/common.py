@@ -234,6 +234,7 @@ def model_config_from_cfg(cfg, embedder: Embedder) -> DecoderModelConfig:
         weight_tying=cfg.weight_tying,
         strictly_causal=cfg.strictly_causal,
         matmul_precision=cfg.matmul_precision,
+        compute_dtype=cfg.get("decoder_compute_dtype", "float32"),
     )
 
 

@@ -326,8 +326,8 @@ class TransformerLayer(nn.Module):
         else:
             h = x
         q, k_new, v_new = self._qkv(h)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, pos, 0, 0))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, pos, 0, 0))
         Smax = k_cache.shape[1]
         key_bias = jnp.where(jnp.arange(Smax)[None, :] <= pos, 0.0, NEG_INF)  # (1,Smax)
         out = self._attend(q, k_cache, v_cache, key_bias, deterministic=True)
@@ -352,8 +352,8 @@ class TransformerLayer(nn.Module):
         else:
             h = x
         q, k_new, v_new = self._qkv(h)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, 0, 0))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, 0, 0, 0))
         out = self._attend(q, k_new, v_new, attn_bias[:S, :S], deterministic=True)
         out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
         if self.scale1 is not None:

@@ -263,8 +263,13 @@ class PrefixedIterDecoder(nn.Module):
 
     # ------------------------------------------------------------- generation
 
-    def init_cache(self, batch: int, dtype=jnp.float32) -> tuple[list, list]:
+    def init_cache(self, batch: int, dtype=None) -> tuple[list, list]:
+        """KV cache; stored in the compute dtype (bf16 halves the beam search's
+        per-step candidate-gather HBM traffic; attention matmuls read bf16
+        anyway under the default matmul precision)."""
         cfg = self.cfg
+        if dtype is None:
+            dtype = jnp.dtype(cfg.compute_dtype)
         shape = (batch, cfg.max_seq_len, cfg.num_heads, cfg.head_dim)
         k = [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)]
         v = [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)]
