@@ -72,6 +72,20 @@ def create_decoder(cfg: DecoderModelConfig, *, target_tokenizer=None, rng: Optio
     return model, params
 
 
+def verify_unused(params, cfg: DecoderModelConfig):
+    """Assert vocab-quantized unused rows are still zero (ref
+    embedding_decoder.py:437-441 state-dict hooks)."""
+    if not cfg.vocab_quant or cfg.vocab_size_quant == cfg.vocab_size:
+        return
+    for name in ("logits_weight", "logits_bias", "token_embedding"):
+        if name in params:
+            arr = np.asarray(params[name])
+            if np.any(arr[cfg.vocab_size:] != 0):
+                raise ValueError(
+                    f"Unexpected values in the unused portion of {name} "
+                    f"(vocab quantization invariant violated)")
+
+
 def count_params(params, cfg: Optional[DecoderModelConfig] = None) -> dict[str, int]:
     """Parameter count report (ref embedding_decoder.py:1304-1347 ParamCount)."""
     total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -114,6 +114,8 @@ class EmbeddingVectorMLP(nn.Module):
             hidden = round(math.sqrt(cfg.embed_dim * output_size) / 64) * 64
         else:
             raise ValueError(f"Unsupported hidden layer argument: {hl}")
+        if cfg.embed_dim <= 0 or output_size <= 0 or (hidden is not None and hidden <= 0):
+            raise ValueError("Embedding vector MLP sizes cannot be non-positive")  # ref :1210
         return output_size, hidden
 
     @nn.compact

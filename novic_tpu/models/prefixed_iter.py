@@ -116,20 +116,36 @@ class PrefixedIterDecoder(nn.Module):
         self.embed_mlp = EmbeddingVectorMLP(cfg=cfg, output_bias=False, name="embed_mlp")
         init_embed_std = (1.0 / math.sqrt(2 * cfg.hidden_dim) if cfg.init_mlp_unit_norm
                           else 1.0 / math.sqrt(2))  # ref embedding_decoder.py:236
+
+        def quant_zeroed(init_fn):
+            # Vocab-quantized rows beyond the true vocab stay zero
+            # (ref embedding_decoder.py:266-278)
+            if not cfg.vocab_quant or cfg.vocab_size_quant == cfg.vocab_size:
+                return init_fn
+
+            def init(key, shape, dtype=jnp.float32):
+                w = init_fn(key, shape, dtype)
+                return w.at[cfg.vocab_size:].set(0.0)
+
+            return init
+
         self.logits_weight = self.param(
-            "logits_weight", normal_init(init_embed_std), (cfg.vocab_size_quant, cfg.hidden_dim))
+            "logits_weight", quant_zeroed(normal_init(init_embed_std)),
+            (cfg.vocab_size_quant, cfg.hidden_dim))
         if cfg.logits_bias:
             if cfg.init_bias_zero:
                 bias_init = nn.initializers.zeros
             else:
                 bias_std = init_embed_std if cfg.init_tfrm_unit_postnorm else init_embed_std * math.sqrt(cfg.hidden_dim)
                 bias_init = normal_init(bias_std)
-            self.logits_bias = self.param("logits_bias", bias_init, (cfg.vocab_size_quant,))
+            self.logits_bias = self.param("logits_bias", quant_zeroed(bias_init),
+                                          (cfg.vocab_size_quant,))
         else:
             self.logits_bias = None
         if not cfg.weight_tying:
             self.token_embedding = self.param(
-                "token_embedding", normal_init(init_embed_std), (cfg.vocab_size_quant, cfg.hidden_dim))
+                "token_embedding", quant_zeroed(normal_init(init_embed_std)),
+                (cfg.vocab_size_quant, cfg.hidden_dim))
         else:
             self.token_embedding = None
         self.pos_embedding = self.param(
