@@ -279,10 +279,15 @@ class JaxEmbedder(Embedder):
                 "bpe_merges_path) => falling back to the word-level test tokenizer; "
                 "text embeddings will NOT match released checkpoints")
         elif arch.tokenizer == "sentencepiece":
+            path = bpe_merges_path or os.environ.get("NOVIC_SIGLIP_SPM", "")
+            if path and os.path.isfile(path):
+                from novic_tpu.text.sentencepiece import SentencePieceTokenizer
+
+                return SentencePieceTokenizer(path, context_length=arch.text.context_length)
             log.warning(
-                "SentencePiece tokenizer assets unavailable in this environment => "
-                "falling back to the word-level test tokenizer; text embeddings will "
-                "NOT match released checkpoints")
+                "SentencePiece .model asset not available (set NOVIC_SIGLIP_SPM or "
+                "pass bpe_merges_path) => falling back to the word-level test "
+                "tokenizer; text embeddings will NOT match released checkpoints")
         return SimpleWordTokenizer(words=(), context_length=arch.text.context_length)
 
     # -- model lifecycle -------------------------------------------------------

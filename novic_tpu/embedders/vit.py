@@ -61,6 +61,10 @@ class VisionTowerConfig:
     layer_norm_eps: float = 1e-5   # CLIP 1e-5, SigLIP 1e-6
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = False  # fused VMEM attention kernel (novic_tpu.ops.attention)
+    # Measured on TPU (B=256, ViT-B/16): fusing q/k/v into one (3E,E) matmul is
+    # 1.77x SLOWER than three separate matmuls (171 vs 97 ms/batch) — the
+    # (B,S,3,H,hd) output layout forces copies that outweigh re-reading x.
+    fuse_qkv: bool = False
 
     @property
     def grid(self) -> int:
@@ -92,6 +96,7 @@ class TextTowerConfig:
     layer_norm_eps: float = 1e-5
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = False  # fused VMEM attention kernel (novic_tpu.ops.attention)
+    fuse_qkv: bool = False         # see VisionTowerConfig.fuse_qkv — measured slower
 
     @property
     def mlp_dim(self) -> int:
@@ -132,6 +137,7 @@ class TowerAttention(nn.Module):
     heads: int
     compute_dtype: str
     use_pallas: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None,
@@ -152,9 +158,18 @@ class TowerAttention(nn.Module):
         src = x if kv is None else kv
         B, Sq = x.shape[0], x.shape[1]
         Sk = src.shape[1]
-        q = tower_dense(x, wq, bq, dt).reshape(B, Sq, H, hd)
-        k = tower_dense(src, wk, bk, dt).reshape(B, Sk, H, hd)
-        v = tower_dense(src, wv, bv, dt).reshape(B, Sk, H, hd)
+        if self.fuse_qkv and kv is None:
+            # Self-attention: one (3E,E) projection reads x from HBM once.
+            # Params stay in HF layout (checkpoint conversion is a direct copy);
+            # the concat is a cheap device-side reshuffle of 3*E*E weights.
+            wqkv = jnp.concatenate([wq, wk, wv], axis=0)
+            bqkv = jnp.concatenate([bq, bk, bv], axis=0)
+            qkv = tower_dense(x, wqkv, bqkv, dt).reshape(B, Sq, 3, H, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        else:
+            q = tower_dense(x, wq, bq, dt).reshape(B, Sq, H, hd)
+            k = tower_dense(src, wk, bk, dt).reshape(B, Sk, H, hd)
+            v = tower_dense(src, wv, bv, dt).reshape(B, Sk, H, hd)
         if self.use_pallas and kv is None:
             # Fused VMEM attention kernel (self-attention only; the MAP head's
             # 1-query cross-attention stays on the XLA path)
@@ -189,6 +204,7 @@ class TowerBlock(nn.Module):
     eps: float
     compute_dtype: str
     use_pallas: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -209,7 +225,8 @@ class TowerBlock(nn.Module):
         x = x.astype(dt)
         h = f32_layer_norm(x, n1w, n1b, self.eps, out_dtype=dt)
         attn_out = TowerAttention(width=E, heads=self.heads, compute_dtype=self.compute_dtype,
-                                  use_pallas=self.use_pallas, name="attn")(h, attn_bias)
+                                  use_pallas=self.use_pallas, fuse_qkv=self.fuse_qkv,
+                                  name="attn")(h, attn_bias)
         x = x + attn_out.astype(dt)
         h = f32_layer_norm(x, n2w, n2b, self.eps, out_dtype=dt)
         h = tower_dense(h, w1, b1, self.compute_dtype).astype(dt)
@@ -259,7 +276,8 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.layers):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
-                           use_pallas=cfg.use_pallas_attention, name=f"blocks_{i}")(x)
+                           use_pallas=cfg.use_pallas_attention, fuse_qkv=cfg.fuse_qkv,
+                           name=f"blocks_{i}")(x)
 
         postw = self.param("post_ln_weight", nn.initializers.ones, (E,))
         postb = self.param("post_ln_bias", nn.initializers.zeros, (E,))
@@ -326,7 +344,8 @@ class TextTransformer(nn.Module):
         for li in range(cfg.layers):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
-                           use_pallas=cfg.use_pallas_attention, name=f"blocks_{li}")(x, attn_bias)
+                           use_pallas=cfg.use_pallas_attention, fuse_qkv=cfg.fuse_qkv,
+                           name=f"blocks_{li}")(x, attn_bias)
 
         fw = self.param("final_ln_weight", nn.initializers.ones, (E,))
         fb = self.param("final_ln_bias", nn.initializers.zeros, (E,))

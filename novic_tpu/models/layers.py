@@ -344,6 +344,58 @@ class TransformerLayer(nn.Module):
             x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
         return x, k_cache, v_cache
 
+    def step_split(self, x: jnp.ndarray, pk: jnp.ndarray, pv: jnp.ndarray,
+                   tk: jnp.ndarray, tv: jnp.ndarray, step: jnp.ndarray):
+        """KV-cached step with the prefix cache held at base-batch rows.
+
+        x: (B,1,E) with B = Bb*R candidate rows; pk/pv (Bb,P,H,hd) frozen prefix
+        K/V shared by the R candidates of each base sample (never gathered during
+        beam candidate reordering); tk/tv (B,G,H,hd) per-candidate token caches,
+        updated at slot step-1 (sequence position P+step-1). The reference
+        re-forwards the whole sequence per step instead (ref
+        embedding_decoder.py:880-916); here splitting keeps the beam's per-step
+        gather to the token slots only and lets prefill run at Bb rows.
+        """
+        cfg = self.cfg
+        if cfg.layer_norm_first:
+            h = layer_norm(x, self.norm1_weight, self.norm1_bias)
+        else:
+            h = x
+        q, k_new, v_new = self._qkv(h)  # (B,1,H,hd)
+        tk = jax.lax.dynamic_update_slice(tk, k_new.astype(tk.dtype), (0, step - 1, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, v_new.astype(tv.dtype), (0, step - 1, 0, 0))
+        B = x.shape[0]
+        Bb, P = pk.shape[0], pk.shape[1]
+        R = B // Bb
+        G = tk.shape[1]
+        H, hd = cfg.num_heads, cfg.head_dim
+        scale = 1.0 / math.sqrt(hd)
+        qs = (q * scale).reshape(B, H, hd)
+        # Prefix scores: broadcast the shared prefix K over the R candidate rows
+        sp = jnp.einsum("brhd,bphd->brhp", qs.reshape(Bb, R, H, hd), pk,
+                        preferred_element_type=jnp.float32,
+                        precision=self.precision).reshape(B, H, P)
+        st = jnp.einsum("bhd,bkhd->bhk", qs, tk, preferred_element_type=jnp.float32,
+                        precision=self.precision)
+        st = st + jnp.where(jnp.arange(G)[None, None, :] <= step - 1, 0.0, NEG_INF)
+        attn = jax.nn.softmax(jnp.concatenate([sp, st], axis=-1), axis=-1)  # (B,H,P+G)
+        out_p = jnp.einsum("brhp,bphd->brhd", attn[:, :, :P].reshape(Bb, R, H, P), pv,
+                           preferred_element_type=jnp.float32,
+                           precision=self.precision).reshape(B, H, hd)
+        out_t = jnp.einsum("bhk,bkhd->bhd", attn[:, :, P:], tv,
+                           preferred_element_type=jnp.float32, precision=self.precision)
+        out = (out_p + out_t).reshape(B, 1, cfg.hidden_dim)
+        out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
+        if self.scale1 is not None:
+            out = out * self.scale1
+        if cfg.layer_norm_first:
+            x = x + out
+            x = x + self._ff_block(layer_norm(x, self.norm2_weight, self.norm2_bias), deterministic=True)
+        else:
+            x = layer_norm(x + out, self.norm1_weight, self.norm1_bias)
+            x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
+        return x, tk, tv
+
     def prefill(self, x: jnp.ndarray, attn_bias: jnp.ndarray, k_cache: jnp.ndarray,
                 v_cache: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Multi-token forward that also fills the KV cache at positions [0, S)."""
@@ -423,3 +475,15 @@ class Transformer(nn.Module):
         if self.norm_weight is not None:
             x = layer_norm(x, self.norm_weight, self.norm_bias)
         return x, new_k, new_v
+
+    def step_split(self, x, pk_caches, pv_caches, tk_caches, tv_caches, step):
+        """Split-cache step (see TransformerLayer.step_split)."""
+        new_tk, new_tv = [], []
+        for i, layer in enumerate(self.layers):
+            x, tk, tv = layer.step_split(x, pk_caches[i], pv_caches[i],
+                                         tk_caches[i], tv_caches[i], step)
+            new_tk.append(tk)
+            new_tv.append(tv)
+        if self.norm_weight is not None:
+            x = layer_norm(x, self.norm_weight, self.norm_bias)
+        return x, new_tk, new_tv

@@ -310,3 +310,37 @@ class PrefixedIterDecoder(nn.Module):
         x = x + jax.lax.dynamic_slice_in_dim(self.pos_embedding, pos, 1, axis=0)[None, :, :]
         x, k_caches, v_caches = self.transformer.step(x, k_caches, v_caches, pos)
         return self.logits(x[:, 0, :]), k_caches, v_caches
+
+    def init_token_cache(self, batch: int, dtype=None) -> tuple[list, list]:
+        """Token-slot-only caches (G = token_length-1 slots) for the split-cache
+        decode path; the P prefix slots live separately at base-batch rows."""
+        cfg = self.cfg
+        if dtype is None:
+            dtype = jnp.dtype(cfg.compute_dtype)
+        shape = (batch, cfg.token_length - 1, cfg.num_heads, cfg.head_dim)
+        tk = [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)]
+        tv = [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)]
+        return tk, tv
+
+    def prefill_split(self, embed: jnp.ndarray):
+        """Prefill at base-batch rows, returning prefix-only caches (B,P,H,hd).
+        Beam search shares these across its candidate rows without gathering."""
+        cfg = self.cfg
+        B = embed.shape[0]
+        dtype = jnp.dtype(cfg.compute_dtype)
+        shape = (B, cfg.mlp_seq_len, cfg.num_heads, cfg.head_dim)
+        pk = [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)]
+        pv = [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)]
+        return self.prefill(embed, pk, pv)
+
+    def decode_step_split(self, token_ids: jnp.ndarray, step: jnp.ndarray,
+                          pk_caches, pv_caches, tk_caches, tv_caches):
+        """Split-cache decode step: prefix caches (Bb rows, frozen) + token
+        caches (Bb*R rows, slot step-1 updated). See TransformerLayer.step_split."""
+        cfg = self.cfg
+        pos = cfg.mlp_seq_len + step - 1
+        x = self.embed_tokens(token_ids)[:, None, :]  # Bx1xE
+        x = x + jax.lax.dynamic_slice_in_dim(self.pos_embedding, pos, 1, axis=0)[None, :, :]
+        x, tk_caches, tv_caches = self.transformer.step_split(
+            x, pk_caches, pv_caches, tk_caches, tv_caches, step)
+        return self.logits(x[:, 0, :]), tk_caches, tv_caches

@@ -1,0 +1,112 @@
+"""Native SentencePiece unigram tokenizer: proto round-trip, Viterbi
+segmentation, byte fallback, and the SigLIP TextTokenizer adapter
+(ref embedders.py:640-652 uses open_clip's SigLipTokenizer for this)."""
+
+import numpy as np
+import pytest
+
+from novic_tpu.text.sentencepiece import (
+    BYTE, CONTROL, NORMAL, UNKNOWN, SentencePieceProcessor, SentencePieceTokenizer,
+    build_model_proto, canonicalize_text, parse_model_proto)
+
+
+def make_model(extra=(), **kw):
+    pieces = [
+        ("<pad>", 0.0, CONTROL),      # 0
+        ("<unk>", 0.0, UNKNOWN),      # 1
+        ("</s>", 0.0, CONTROL),       # 2
+        ("▁a", -2.0, NORMAL),         # 3
+        ("▁ab", -1.0, NORMAL),        # 4
+        ("▁abc", -5.0, NORMAL),       # 5
+        ("b", -2.5, NORMAL),          # 6
+        ("c", -1.0, NORMAL),          # 7
+        ("▁", -3.0, NORMAL),          # 8
+        ("d", -2.0, NORMAL),          # 9
+    ] + list(extra)
+    kw.setdefault("unk_id", 1)
+    kw.setdefault("eos_id", 2)
+    kw.setdefault("pad_id", 0)
+    return parse_model_proto(build_model_proto(pieces, **kw))
+
+
+def test_proto_roundtrip():
+    m = make_model()
+    assert m.pieces[3] == "▁a"
+    assert m.scores[4] == pytest.approx(-1.0)
+    assert m.types[1] == UNKNOWN
+    assert (m.unk_id, m.eos_id, m.pad_id) == (1, 2, 0)
+    assert m.add_dummy_prefix
+    # Negative ids survive the varint encoding (bos_id default -1)
+    assert m.bos_id == -1
+
+
+def test_viterbi_picks_best_path():
+    sp = SentencePieceProcessor(make_model())
+    # "ab": [▁ab]=-1 beats [▁a,b]=-4.5
+    assert sp.encode("ab") == [4]
+    # "abc": [▁ab,c]=-2 beats [▁abc]=-5 and [▁a,b,c]=-5.5
+    assert sp.encode("abc") == [4, 7]
+    assert sp.encode("abc", out_pieces=True) == ["▁ab", "c"]
+    # multi-word: whitespace escaped to ▁ per word
+    assert sp.encode("ab ab") == [4, 4]
+
+
+def test_unknown_char_maps_to_unk():
+    sp = SentencePieceProcessor(make_model())
+    ids = sp.encode("axb")
+    # ▁a, <unk>(x), b
+    assert ids == [3, 1, 6]
+    assert sp.decode(ids) == "a ⁇ b".replace(" ⁇ ", "⁇")  # unk renders as ⁇
+
+
+def test_byte_fallback():
+    byte_pieces = [(f"<0x{b:02X}>", -10.0, BYTE) for b in range(256)]
+    sp = SentencePieceProcessor(make_model(extra=byte_pieces))
+    ids = sp.encode("aé")  # é = 0xC3 0xA9 in UTF-8
+    assert ids[0] == 3  # ▁a
+    base = 10
+    assert ids[1:] == [base + 0xC3, base + 0xA9]
+    assert sp.decode(ids) == "aé"
+
+
+def test_decode_roundtrip_and_specials():
+    sp = SentencePieceProcessor(make_model())
+    ids = sp.encode("ab cd")
+    text = sp.decode([0, 2] + ids)  # control tokens skipped
+    assert text == "ab cd"
+
+
+def test_canonicalize_text():
+    assert canonicalize_text("Hello,  World!") == "hello world"
+    assert canonicalize_text("a.b.c") == "abc"
+
+
+def test_tokenizer_adapter():
+    data = build_model_proto([
+        ("<pad>", 0.0, CONTROL), ("<unk>", 0.0, UNKNOWN), ("</s>", 0.0, CONTROL),
+        ("▁a", -2.0, NORMAL), ("▁ab", -1.0, NORMAL), ("b", -2.5, NORMAL),
+        ("c", -1.0, NORMAL),
+    ], unk_id=1, eos_id=2, pad_id=0)
+    tok = SentencePieceTokenizer(data, context_length=8)
+    assert tok.vocab_size == 7
+    assert tok.end_token_id == 2 and tok.pad_token_id == 0 and tok.start_token_id is None
+    out = tok.tokenize(["Ab!", "abc abc"], output_dict=True)
+    ids, mask = out["input_ids"], out["attention_mask"]
+    # "ab" -> [▁ab, </s>]; "abc abc" -> [▁ab, c, ▁ab, c, </s>]
+    assert ids.shape == (2, 5)
+    np.testing.assert_array_equal(ids[0], [4, 2, 0, 0, 0])
+    np.testing.assert_array_equal(ids[1], [4, 6, 4, 6, 2])
+    np.testing.assert_array_equal(mask[0], [1, 1, 0, 0, 0])
+    # detokenize strips specials
+    assert tok.detokenize(ids) == ["ab", "abc abc"]
+
+
+def test_tokenizer_truncation():
+    data = build_model_proto([
+        ("<pad>", 0.0, CONTROL), ("<unk>", 0.0, UNKNOWN), ("</s>", 0.0, CONTROL),
+        ("▁a", -1.0, NORMAL),
+    ], unk_id=1, eos_id=2, pad_id=0)
+    tok = SentencePieceTokenizer(data, context_length=4)
+    ids = tok.tokenize("a a a a a a a a")
+    assert ids.shape[1] <= 4
+    assert ids[0, -1] == 2  # end token survives truncation
