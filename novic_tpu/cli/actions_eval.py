@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import json
+import math
 import os
 from typing import Any, Optional, Sequence
 
@@ -157,6 +158,35 @@ def action_embedder_zero_shot(cfg):
 # ---------------------------------------------------------------------------
 
 
+def _eval_debug_print(cfg, decoder, embed, target, correct, pad_arr):
+    """Per-sample debug lines for the first eval batch: the teacher-forced
+    target vs greedy predictions, guided (unguided) when eval_guided
+    (ref train.py:1795-1811)."""
+    from novic_tpu.models.generate import generate_greedy
+
+    tt = decoder.target_tokenizer
+    n = min(len(embed), int(cfg.get("eval_debug_samples", 32) or 32))
+    embed = embed[:n]
+    unguided = np.asarray(generate_greedy(decoder.model, decoder.params, embed)[0])
+    guided = None
+    if cfg.get("eval_guided", False) and decoder.target_vocab:
+        gt, gp = tt.tokenize_target(list(decoder.target_vocab))
+        gt = np.where(gp, 0, gt) if gp is not None else gt
+        guided = np.asarray(generate_greedy(decoder.model, decoder.params, embed,
+                                            guide_targets=gt)[0])
+    ok = correct | (pad_arr if pad_arr is not None else False)
+    sample_ok = ok.all(axis=-1)
+    tgts = tt.detokenize_target(target[:n])
+    un_strs = tt.detokenize_target(unguided)
+    g_strs = tt.detokenize_target(guided) if guided is not None else None
+    for i in range(n):
+        color = "\033[92m" if sample_ok[i] else "\033[91m"
+        if g_strs is not None:
+            print(f"{color}{tgts[i]} --> {g_strs[i]} ({un_strs[i]})\033[0m")
+        else:
+            print(f"{color}{tgts[i]} --> {un_strs[i]}\033[0m")
+
+
 def action_eval(cfg):
     """Teacher-forced loss + token top-1 + whole-noun top-1 per model over
     embedding datasets."""
@@ -181,6 +211,7 @@ def action_eval(cfg):
             pos_correct = np.zeros(Cmax)
             pos_total = np.zeros(Cmax)
             batches = 0
+            debug = bool(cfg.get("eval_debug", False))
             with dataset.loaded():
                 for embed, target, mask, weight in loader:
                     if target.ndim == 3:
@@ -190,6 +221,13 @@ def action_eval(cfg):
                         np.asarray(target), None if mask is None else np.asarray(mask))
                     correct = np.asarray(correct)
                     pad_arr = None if pad is None else np.asarray(pad)
+                    if debug:
+                        # First-batch sample dump: target --> guided (unguided)
+                        # greedy predictions, green/red by teacher-forced
+                        # correctness (ref train.py:1795-1811)
+                        _eval_debug_print(cfg, decoder, np.asarray(embed, np.float32),
+                                          np.asarray(target), correct, pad_arr)
+                        debug = False
                     loss_sum += float(ls)
                     loss_basis += float(lb)
                     tok_correct += correct.sum()
@@ -534,10 +572,70 @@ class PredictionScorer:
         return self.score_sum / max(self.score_count, 1)
 
 
+def _categorise_topk(annotations, sample_keys, pred_rows, topk):
+    """Per-rank category counters with best-so-far carry: the counter at rank k
+    reflects the best category among the first k+1 predictions of each sample
+    (ref train.py categorise_topk :279-309). Missing samples count as None."""
+    from collections import Counter
+
+    counters = [Counter() for _ in range(topk)]
+    for sk, preds in zip(sample_keys, pred_rows):
+        ann = annotations.get(sk)
+        if ann is None:
+            for c in counters:
+                c[None] += 1
+            continue
+        best_cat, best_w = None, -math.inf
+        for c, pred in zip(counters, list(preds)[:topk] + [None] * max(0, topk - len(preds))):
+            cat, cw = None, -1.0
+            if pred is not None:
+                for category, nouns in ann.items():
+                    w = CATEGORY_WEIGHTS.get(category, 0.0)
+                    if pred in nouns and w > cw:
+                        cat, cw = category, w
+            w = CATEGORY_WEIGHTS.get(cat, 0.0) if cat is not None else 0.0
+            # Reference carry (ref :297-303): count the best-so-far on a drop,
+            # this pred's category on a tie, and update best on improvement
+            if w < best_w:
+                counted = best_cat
+            else:
+                counted = cat
+                if w > best_w:
+                    best_cat, best_w = cat, w
+            c[counted] += 1
+    scores = [sum(n * CATEGORY_WEIGHTS.get(cat, 0.0) for cat, n in c.items() if cat)
+              for c in counters]
+    return scores, counters
+
+
+def _format_counter(counter) -> str:
+    """'P/S✓ p/s~ i/o✗ = total' category summary (ref train.py:320-327)."""
+    total = sum(counter.values())
+    w = len(str(total))
+    cp, cs = counter.get("correct_primary", 0), counter.get("correct_secondary", 0)
+    lp, ls = counter.get("close_primary", 0), counter.get("close_secondary", 0)
+    inc = counter.get("incorrect", 0)
+    other = total - cp - cs - lp - ls - inc
+    return (f"{cp:{w}d}/{cs:{w}d}✓ {lp:{w}d}/{ls:{w}d}~ "
+            f"{inc:{w}d}/{other:{w}d}✗ = {total:{w}d}")
+
+
+def _print_table(headers, rows):
+    import tabulate as _tab
+
+    print(_tab.tabulate(rows, headers=headers, tablefmt="pretty",
+                        numalign="left", stralign="left"))
+
+
 def action_format_preds(cfg):
-    """Score predictions JSONs against annotation JSONs; tabulate per model ×
-    gencfg (format modes: model_max_v1 / model_topk_v1 / gencfg_model_v1 /
-    nouns_v1)."""
+    """Score predictions JSONs against annotation JSONs and tabulate.
+
+    Format modes (ref train.py:2731-2870):
+    * nouns_v1        — per-sample top-K prediction tables per model × gencfg
+    * model_topk_v1   — per-gencfg tables of top-k scores per model
+    * model_max_v1    — best top-1 score per model across gencfgs
+    * gencfg_model_v1 — mean top-k scores per gencfg across models
+    """
     annotations: dict[str, dict] = {}
     for path in cfg.annotations_paths:
         with open(resolve_path(cfg, path)) as f:
@@ -549,29 +647,98 @@ def action_format_preds(cfg):
         with open(resolve_path(cfg, cfg.specificity_path)) as f:
             specificity = json.load(f)
 
-    rows = []
+    topk = int(cfg.get("format_topk", 3) or 3)
+    mode = (cfg.format_mode or "model_topk_v1").lower()
+
+    # Collect (label, sample_keys, gencfg -> pred rows); one label per model
+    loaded: list[tuple[str, list[str], dict[str, list]]] = []
     for path in cfg.predictions_paths or ([cfg.predictions_path] if cfg.predictions_path else []):
         with open(resolve_path(cfg, path)) as f:
             predictions = json.load(f)
-        keys = predictions["keys"]
-        sample_keys = [os.path.basename(k) for k in keys]
+        sample_keys = [os.path.basename(k) for k in predictions["keys"]]
         for model_name, model_out in predictions["models"].items():
-            for gname, gout in model_out["gencfgs"].items():
+            label = f"{os.path.basename(path)}:{model_name}" \
+                if len(predictions["models"]) > 1 else model_name
+            loaded.append((label, sample_keys,
+                           {g: out for g, out in model_out["gencfgs"].items()}))
+    if not loaded:
+        raise ValueError("format_preds requires predictions_path(s)")
+    gencfgs = sorted({g for _, _, gc in loaded for g in gc})
+
+    if mode == "nouns_v1":
+        for label, sample_keys, gc in loaded:
+            for gname, gout in gc.items():
                 scorer = PredictionScorer(annotations, specificity)
-                noun_rows = []
-                for sk, preds in zip(sample_keys, gout["pred"]):
-                    w = scorer.score_prediction(sk, preds[0])
-                    noun_rows.append((sk, preds[0], w))
-                rows.append((model_name, gname, scorer.score, scorer.score_count,
-                             scorer.missing))
-                if cfg.format_mode == "nouns_v1":
-                    for sk, pred, w in noun_rows:
-                        log.info(f"{sk}: {pred} -> {w}")
-    header = ("model", "gencfg", "score", "scored", "missing")
-    width = [max(len(str(r[c])) for r in [header] + rows) for c in range(len(header))]
-    for r in [header] + rows:
-        log.info("  ".join(str(v).ljust(w) for v, w in zip(r, width)))
-    return rows
+                rows = []
+                for sk, preds, scores in zip(sample_keys, gout["pred"], gout["score"]):
+                    cells = []
+                    for pred, sc in list(zip(preds, scores))[:topk]:
+                        w = scorer.score_prediction(sk, pred)
+                        # ✓ correct_{primary,secondary}, ~ close_{primary,secondary}
+                        mark = "✓" if (w or 0) >= 0.8 else ("~" if (w or 0) > 0 else "✗")
+                        cells.append(f"{pred} = {sc:.3g} {mark}")
+                    rows.append((sk, *cells))
+                log.info(f"Top-{topk} predictions for {label} decoded with {gname}:")
+                _print_table(("Sample", *(f"Prediction {k+1}" for k in range(topk))), rows)
+        return loaded
+
+    # Score grid: gencfg -> label -> (topk scores, topk counters)
+    grid: dict[str, dict[str, tuple]] = {g: {} for g in gencfgs}
+    totals: dict[str, int] = {}
+    for label, sample_keys, gc in loaded:
+        totals[label] = len(sample_keys)
+        for gname, gout in gc.items():
+            k = min(topk, max(len(p) for p in gout["pred"]) if gout["pred"] else topk)
+            grid[gname][label] = _categorise_topk(annotations, sample_keys, gout["pred"], k)
+
+    if mode == "model_topk_v1":
+        for gname in gencfgs:
+            log.info(f"Top-k (up to {topk}) prediction scores when models are decoded with {gname}:")
+            kmax = max(len(s) for s, _ in grid[gname].values())
+            rows = []
+            for label, (scores, counters) in grid[gname].items():
+                total = totals[label]
+                rows.append((label, _format_counter(counters[0]),
+                             *(f"{s:.1f}" for s in scores),
+                             *(f"{100*s/total:.1f}%" if total else "nan" for s in scores)))
+            _print_table(("Model", "Top-1 Details", *(f"Top-{k+1}" for k in range(kmax)),
+                          *(f"Top-{k+1}%" for k in range(kmax))), rows)
+    elif mode == "model_max_v1":
+        log.info("Maximum top-1 prediction scores per-model across decoding strategies:")
+        rows = []
+        for label, _, _ in loaded:
+            best = max(((grid[g][label][0][0], grid[g][label][1][0], g)
+                        for g in gencfgs if label in grid[g]), default=None)
+            if best is None:
+                continue
+            score, counter, g = best
+            total = totals[label]
+            rows.append((label, _format_counter(counter), f"{score:.1f}",
+                         f"{100*score/total:.1f}%" if total else "nan", g))
+        rows.sort(key=lambda r: -float(r[2]))
+        _print_table(("Model", "Top-1 Details", "Top-1", "Top-1%", "Gen Cfg"), rows)
+    elif mode == "gencfg_model_v1":
+        log.info(f"Top-k (up to {topk}) prediction scores across models and decoding strategies:")
+        if len(set(totals.values())) > 1:
+            log.warning(f"Prediction JSONs have differing sample counts; treat means "
+                        f"with caution: {sorted(set(totals.values()))}")
+        labels = [label for label, _, _ in loaded]
+        rows = []
+        for gname in gencfgs:
+            per_label = grid[gname]
+            kmax = max((len(s) for s, _ in per_label.values()), default=0)
+            means = []
+            for k in range(kmax):
+                vals = [100 * s[k] / totals[lb] for lb, (s, _) in per_label.items()
+                        if len(s) > k and totals[lb]]
+                means.append(f"{sum(vals)/len(vals):.1f}%" if vals else "-")
+            cells = [(f"{100*per_label[lb][0][0]/totals[lb]:.1f}%"
+                      if lb in per_label and totals[lb] else "-") for lb in labels]
+            rows.append((gname, " ".join(means), *cells))
+        _print_table(("Gen Cfg", "Mean Top-k", *labels), rows)
+    else:
+        raise ValueError(f"Unsupported predictions format mode: {cfg.format_mode}")
+    return grid
 
 
 def action_format_metrics(cfg):

@@ -97,9 +97,18 @@ def test_cli_full_pipeline(workdir):
                    "a photo of a cat": {"close_primary": [first_preds[1][0]]}}
     with open(ann_path, "w") as f:
         json.dump(annotations, f)
-    rows = main(["action=format_preds", f"predictions_path={preds_path}",
+    grid = main(["action=format_preds", f"predictions_path={preds_path}",
                  f"annotations_paths=[{ann_path}]", "format_mode=model_max_v1"] + args)
-    assert rows and abs(rows[0][2] - (1.0 + 0.5) / 2) < 1e-9
+    # grid: gencfg -> model label -> (topk scores, topk counters); top-1 score
+    # = 1.0 (correct_primary) + 0.5 (close_primary)
+    (label_data,) = [grid[gn] for gn in grid if g == gn]
+    scores, counters = next(iter(label_data.values()))
+    assert abs(scores[0] - 1.5) < 1e-9
+    assert counters[0]["correct_primary"] == 1 and counters[0]["close_primary"] == 1
+    # other modes run without error on the same inputs
+    for mode in ("model_topk_v1", "gencfg_model_v1", "nouns_v1"):
+        main(["action=format_preds", f"predictions_path={preds_path}",
+              f"annotations_paths=[{ann_path}]", f"format_mode={mode}"] + args)
 
 
 def test_cli_format_metrics(workdir):

@@ -55,10 +55,13 @@ def test_tower_with_pallas_attention():
 
     attn_mod.fused_attention = interp
     try:
+        # float32 compute: the XLA path's score tensor stays f32 there, matching
+        # the f32 Pallas kernel (bf16 compute now quantizes scores to bf16 on
+        # the XLA path, a deliberate traffic optimization the kernel lacks)
         cfg_x = VisionTowerConfig(image_size=32, patch_size=16, width=64, layers=2, heads=4,
                                   embed_dim=32, act="gelu_tanh", use_class_token=False,
                                   patch_bias=True, pre_ln=False, pool="map",
-                                  layer_norm_eps=1e-6)
+                                  layer_norm_eps=1e-6, compute_dtype="float32")
         cfg_p = type(cfg_x)(**{**cfg_x.__dict__, "use_pallas_attention": True})
         mx = VisionTransformer(cfg=cfg_x)
         mp = VisionTransformer(cfg=cfg_p)
