@@ -72,6 +72,13 @@ def action_train(cfg):
     # Resume (ref train.py:1057-1101)
     S = TrainLoopState(rng_seed=cfg.seed)
     opt_arrays = None
+    # load_lr_state=True resumes the checkpoint's LR schedule (its init/final
+    # lr, scheduler + warmup, original cosine horizon, ref train.py:1097-1100);
+    # False uses the current cfg's LR hyperparams with the warmup and cosine
+    # horizon restarted at the resumed chunk (ref :1132-1146)
+    lr_params = dict(init_lr=cfg.init_lr, final_lr=cfg.final_lr,
+                     lr_scheduler=cfg.lr_scheduler, lr_warmup=cfg.lr_warmup)
+    lr_resume_fresh = False
     ckpts = find_checkpoints(cfg)
     if ckpts:
         ckpt = load_checkpoint(ckpts[-1])
@@ -81,6 +88,13 @@ def action_train(cfg):
             S = TrainLoopState.from_dict(ckpt["train_meta"]["loop_state"])
             opt_arrays = ckpt["opt_arrays"]
             log.info(f"Resumed training state at chunk {S.chunk_id}")
+            if cfg.load_lr_state:
+                ck = ckpt["cfg_flat"]
+                lr_params = {k: ck.get(k, lr_params[k]) for k in lr_params}
+                log.info(f"Resuming checkpoint LR schedule: {lr_params}")
+            else:
+                lr_resume_fresh = True
+                log.info("load_lr_state=false => restarting LR schedule at the resumed chunk")
 
     noise = EmbeddingNoise.create(cfg.noise_scheme, embed_dim=embedder.embed_dim,
                                   vec_norm=cfg.noise_vec_norm, angle_min=cfg.noise_angle_min,
@@ -117,14 +131,21 @@ def action_train(cfg):
         accum_size=cfg.accum_factor, gradient_clip=cfg.gradient_clip,
         loss_ewa_halflife=cfg.loss_ewa_halflife, save_every_min=cfg.save_every_min,
         save_every_max=cfg.save_every_max, save_top1_min=cfg.save_top1_min / 100.0,
-        save_top1_delta=cfg.save_top1_delta / 100.0, init_lr=cfg.init_lr,
-        final_lr=cfg.final_lr, lr_scheduler=cfg.lr_scheduler, lr_warmup=cfg.lr_warmup,
+        save_top1_delta=cfg.save_top1_delta / 100.0, **lr_params,
         last_dropout_chunks=cfg.last_dropout_chunks,
-        last_dropout_factor=cfg.last_dropout_factor)
+        last_dropout_factor=cfg.last_dropout_factor, lr_resume_fresh=lr_resume_fresh)
 
     def save_fn(chunk_id, state, loop_state):
-        path = os.path.join(run_dir, f"ovod_chunk{chunk_id:04d}_{stamp}.npz")
-        save_checkpoint(
+        ckpt_fmt = str(cfg.get("checkpoint_format", "npz") or "npz").lower()
+        ext = ".orbax" if ckpt_fmt == "orbax" else ".npz"
+        path = os.path.join(run_dir, f"ovod_chunk{chunk_id:04d}_{stamp}{ext}")
+        if ckpt_fmt == "orbax":
+            from novic_tpu.train.checkpoint import save_checkpoint_orbax as _save
+        elif ckpt_fmt == "npz":
+            _save = save_checkpoint
+        else:
+            raise ValueError(f"Unsupported checkpoint_format: {ckpt_fmt}")
+        _save(
             path, params=jax.tree.map(np.asarray, state.params),
             cfg_flat=config_to_flat(cfg), model_config=model_cfg,
             target_config=embedder.target_config, data_config=dc.as_dict(),

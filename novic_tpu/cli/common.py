@@ -166,14 +166,15 @@ def find_checkpoints(cfg) -> list[str]:
     out = []
     for path in paths:
         path = resolve_path(cfg, path)
-        if os.path.isdir(path):
+        if os.path.isdir(path) and not os.path.exists(os.path.join(path, "novic_meta.json")):
             ckpts = sorted(glob.glob(os.path.join(path, "*.npz"))
                            + glob.glob(os.path.join(path, "*.model"))
-                           + glob.glob(os.path.join(path, "*.train")),
+                           + glob.glob(os.path.join(path, "*.train"))
+                           + glob.glob(os.path.join(path, "*.orbax")),
                            key=os.path.getmtime)
             n = cfg.load_models_dirnum or len(ckpts)
             out.extend(ckpts[-n:])
-        elif os.path.isfile(path):
+        elif os.path.isfile(path) or os.path.isdir(path):  # file or orbax dir
             out.append(path)
         else:
             raise FileNotFoundError(f"Checkpoint path not found: {path}")

@@ -182,18 +182,20 @@ class TowerAttention(nn.Module):
                                   v.astype(jnp.float32), sq_bias)
             return tower_dense(out.reshape(B, Sq, E), wo, bo, dt)
         scale = 1.0 / math.sqrt(hd)
-        # Score tensor materializes in the compute dtype: at B=256 ViT-B/16 the
-        # (B,H,S,S) scores are the tower's largest intermediate (472 MB in f32),
-        # and emitting them bf16 measured 97.0 -> 86.2 ms/batch on TPU. The MXU
-        # still accumulates in f32; softmax math runs in f32 registers (the
-        # casts fuse into the surrounding elementwise ops, costing no traffic).
+        # Score tensor + softmax chain stay in the compute dtype: at B=256
+        # ViT-B/16 the (B,H,S,S) scores are the tower's largest intermediate
+        # (472 MB in f32), and the bf16 chain measured 97.0 -> 86.2 ms/batch on
+        # TPU (f32 softmax math measured 0 accuracy benefit: unit-embedding
+        # cosine vs f32 compute is 0.99998 either way, max 0.36 deg, while its
+        # cast chain cost ~8 ms). The MXU still accumulates matmuls in f32.
+        # bf16 spans the f32 exponent range, so the -1e30 causal bias is safe.
         dtj = jnp.dtype(dt)
         scores = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(dtj),
                             k.astype(dtj), preferred_element_type=dtj,
                             precision=_precision_for(dt))
         if attn_bias is not None:
-            scores = (scores.astype(jnp.float32) + attn_bias).astype(dtj)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtj)
+            scores = scores + attn_bias.astype(dtj)
+        attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn,
                          v.astype(dtj), preferred_element_type=jnp.float32,
                          precision=_precision_for(dt))

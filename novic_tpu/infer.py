@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import os
 import re
 from typing import Any, Callable, Optional, Sequence, Union
 
@@ -389,9 +390,9 @@ def load_guide_targets(target_tokenizer: TargetTokenizer, guide_targets: Sequenc
 
 def load_decoder_from_checkpoint(checkpoint_path: str, embedder: Embedder,
                                  model_override: Optional[str] = None) -> Decoder:
-    """Load a decoder (native .npz or reference torch checkpoint) and configure
-    the embedder's target tokenizer from it (ref infer.py:713-778)."""
-    if checkpoint_path.endswith(".npz"):
+    """Load a decoder (native .npz / orbax dir / reference torch checkpoint) and
+    configure the embedder's target tokenizer from it (ref infer.py:713-778)."""
+    if checkpoint_path.endswith(".npz") or os.path.isdir(checkpoint_path):
         from novic_tpu.train.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(checkpoint_path)

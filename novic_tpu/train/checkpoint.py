@@ -205,7 +205,10 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> dict:
-    """Load a native .npz checkpoint → dict with params/meta/opt arrays."""
+    """Load a native checkpoint (.npz file or orbax directory) → dict with
+    params/meta/opt arrays."""
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["__meta__"]).decode())
     if meta.get("format") != "novic_tpu.checkpoint.v1":
@@ -217,6 +220,72 @@ def load_checkpoint(path: str) -> dict:
         "meta": meta,
         "params": unflatten_dict(params_flat),
         "opt_arrays": opt_leaves,
+        "model_config": DecoderModelConfig.from_dict(meta["model_config"]),
+        "target_config": TargetConfig.from_jsonable(meta["target_config"]),
+        "target_nouns": tuple(meta["target_nouns"]),
+        "num_invalid_target_nouns": meta["num_invalid_target_nouns"],
+        "cfg_flat": meta["cfg_flat"],
+        "data_config": meta["data_config"],
+        "train_meta": meta["train_meta"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (async-capable, sharding-aware; directory checkpoints)
+# ---------------------------------------------------------------------------
+
+_ORBAX_META = "novic_meta.json"
+
+
+def save_checkpoint_orbax(path: str, *, params: dict, cfg_flat: dict,
+                          model_config: DecoderModelConfig, target_config: TargetConfig,
+                          data_config: dict, target_nouns: tuple,
+                          num_invalid_target_nouns: int,
+                          opt_state_arrays: Optional[dict] = None,
+                          train_meta: Optional[dict] = None):
+    """Write an Orbax directory checkpoint (same schema as the .npz format).
+
+    Orbax restores arrays with their shardings on multi-host meshes, which the
+    .npz path cannot; use checkpoint_format=orbax for large multi-chip runs."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    tree = {"params": jax.tree.map(np.asarray, params)}
+    if opt_state_arrays is not None:
+        tree["opt"] = [np.asarray(v) for v in jax.tree.leaves(opt_state_arrays)]
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    meta = {
+        "format": "novic_tpu.checkpoint.v1",
+        "cfg_flat": cfg_flat,
+        "model_config": model_config.as_dict(),
+        "target_config": target_config.as_jsonable(),
+        "data_config": data_config,
+        "target_nouns": list(target_nouns),
+        "num_invalid_target_nouns": num_invalid_target_nouns,
+        "train_meta": train_meta or {},
+        "saved_unix_time": time.time(),
+    }
+    with open(os.path.join(path, _ORBAX_META), "w") as f:
+        f.write(json.dumps(meta))
+    log.info(f"Saved orbax checkpoint: {path}")
+
+
+def load_checkpoint_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _ORBAX_META)) as f:
+        meta = json.load(f)
+    if meta.get("format") != "novic_tpu.checkpoint.v1":
+        raise ValueError(f"Unsupported checkpoint format in {path}")
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    return {
+        "meta": meta,
+        "params": tree["params"],
+        "opt_arrays": tree.get("opt"),
         "model_config": DecoderModelConfig.from_dict(meta["model_config"]),
         "target_config": TargetConfig.from_jsonable(meta["target_config"]),
         "target_nouns": tuple(meta["target_nouns"]),

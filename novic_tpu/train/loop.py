@@ -54,6 +54,9 @@ class TrainLoopConfig:
     lr_warmup: int = 0
     last_dropout_chunks: int = 0     # rescale dropout this many chunks before the end (0 = off)
     last_dropout_factor: float = 0.0  # dropout rescale factor for the final chunks
+    # load_lr_state=False resume: restart warmup + cosine horizon from the
+    # resumed chunk instead of continuing the original schedule
+    lr_resume_fresh: bool = False
 
 
 @dataclasses.dataclass
@@ -148,7 +151,8 @@ def train(
     step = build_step(model)
 
     schedule = lr_schedule_per_chunk(C.init_lr, C.final_lr, C.lr_scheduler, C.lr_warmup,
-                                     C.max_chunks, start_chunk=S.chunk_id)
+                                     C.max_chunks,
+                                     start_chunk=S.chunk_id if C.lr_resume_fresh else 1)
     ewa = EwaMetrics.create(C.loss_ewa_halflife, C.chunk_batches)
     rng = jax.random.PRNGKey(S.rng_seed)
 

@@ -25,7 +25,13 @@ import optax
 def lr_schedule_per_chunk(init_lr: float, final_lr: float, lr_scheduler: str,
                           lr_warmup: int, max_chunks: int,
                           start_chunk: int = 1) -> Callable[[int], float]:
-    """chunk_id (1-based) → learning rate."""
+    """chunk_id (1-based) → learning rate.
+
+    start_chunk anchors the schedule: 1 continues/starts the original horizon
+    (resume with load_lr_state, ref train.py:1097-1100 restores the scheduler
+    state), while start_chunk = resumed chunk restarts warmup AND the cosine
+    horizon over the remaining chunks (load_lr_state=False, ref :1132-1134
+    resets lr and :1142-1146 skips restoring the warmup/cosine schedulers)."""
     scheduler = lr_scheduler.lower()
     if scheduler not in ("const", "cosine"):
         raise ValueError(f"Unsupported learning rate scheduler: {lr_scheduler}")
@@ -34,12 +40,12 @@ def lr_schedule_per_chunk(init_lr: float, final_lr: float, lr_scheduler: str,
     t_max = max((max_chunks if final_lr > 0 else max_chunks + 1) - start_chunk, 1)
 
     def schedule(chunk_id: int) -> float:
-        t = chunk_id - 1  # chunks completed before this chunk
+        t = max(chunk_id - start_chunk, 0)  # chunks completed since the anchor
         warm = min(t, lr_warmup)
         warm_factor = (1 + warm) / (lr_warmup + 1) if lr_warmup >= 1 else 1.0
         if scheduler == "const":
             return init_lr * warm_factor
-        tc = min(max(t - (start_chunk - 1), 0), t_max)
+        tc = min(t, t_max)
         cos = final_lr + (init_lr - final_lr) * (1 + math.cos(math.pi * tc / t_max)) / 2
         return cos * warm_factor
 

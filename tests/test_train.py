@@ -189,3 +189,61 @@ def test_accum_steps_equivalence(setup):
     assert np.isclose(float(m1["loss_sum"]), float(m2["loss_sum"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_lr_schedule_resume_semantics():
+    """load_lr_state=True continues the original schedule (start_chunk=1);
+    False restarts warmup + cosine horizon at the resumed chunk
+    (ref train.py:1097-1146)."""
+    from novic_tpu.train.optim import lr_schedule_per_chunk
+
+    init, final, N = 1e-3, 1e-5, 20
+    orig = lr_schedule_per_chunk(init, final, "cosine", 0, N)
+    # Fresh schedule endpoints
+    assert orig(1) == pytest.approx(init)
+    assert orig(N) == pytest.approx(final)
+    # Continuation: same function evaluated at the resumed chunk
+    resumed = lr_schedule_per_chunk(init, final, "cosine", 0, N, start_chunk=1)
+    for c in (8, 12, N):
+        assert resumed(c) == pytest.approx(orig(c))
+    # Fresh restart at chunk 8: back to full init_lr, horizon = remaining chunks
+    fresh = lr_schedule_per_chunk(init, final, "cosine", 0, N, start_chunk=8)
+    assert fresh(8) == pytest.approx(init)
+    assert fresh(N) == pytest.approx(final)
+    assert fresh(12) > orig(12)  # restarted schedule is above the original mid-run
+    # Warmup restarts with the fresh schedule too
+    warm = lr_schedule_per_chunk(init, 0.0, "const", 3, N, start_chunk=8)
+    assert warm(8) == pytest.approx(init / 4)
+    assert warm(11) == pytest.approx(init)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax directory checkpoints round-trip the same schema as .npz and load
+    through the generic load_checkpoint dispatch."""
+    from novic_tpu.models.config import DecoderModelConfig
+    from novic_tpu.text.target import TargetConfig
+    from novic_tpu.train.checkpoint import load_checkpoint, save_checkpoint_orbax
+
+    cfg = DecoderModelConfig(embed_dim=8, vocab_size=12, token_length=4,
+                             hidden_dim=8, num_layers=1, num_heads=2)
+    tc = TargetConfig(vocab_size=12, token_dtype="int32", mask_dtype="bool",
+                      start_token_id=None, end_token_id=0, pad_token_id=0,
+                      compact_ids=True, compact_map=np.arange(12, dtype=np.int32),
+                      compact_unmap=np.arange(12, dtype=np.int32),
+                      fixed_token_length=False, token_length=4, use_masks=True)
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "nest": {"b": np.ones((4,), np.float32)}}
+    opt = [np.zeros((2, 3), np.float32), np.full((4,), 7.0, np.float32)]
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint_orbax(path, params=params, cfg_flat={"init_lr": 1e-3},
+                          model_config=cfg, target_config=tc, data_config={"x": 1},
+                          target_nouns=("", "dog"), num_invalid_target_nouns=1,
+                          opt_state_arrays=opt, train_meta={"chunk_id": 3})
+    ckpt = load_checkpoint(path)
+    np.testing.assert_array_equal(ckpt["params"]["a"], params["a"])
+    np.testing.assert_array_equal(ckpt["params"]["nest"]["b"], params["nest"]["b"])
+    np.testing.assert_array_equal(ckpt["opt_arrays"][1], opt[1])
+    assert ckpt["model_config"].vocab_size == 12
+    assert ckpt["target_nouns"] == ("", "dog")
+    assert ckpt["cfg_flat"]["init_lr"] == 1e-3
+    assert ckpt["train_meta"]["chunk_id"] == 3
