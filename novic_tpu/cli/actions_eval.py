@@ -41,6 +41,7 @@ from novic_tpu.infer import (
     load_decoder_from_checkpoint,
     load_guide_targets,
 )
+from novic_tpu.utils.config import config_to_flat as _flat_cfg
 from novic_tpu.utils.logger import log
 from novic_tpu.utils.metrics import MetricsLogger
 from novic_tpu.utils.misc import get_canon, json_dumps, make_indefinite
@@ -195,6 +196,8 @@ def action_eval(cfg):
     if not ckpts:
         raise ValueError("eval requires load_model/load_models")
     specs = cfg.embedding_datasets or [cfg.embedding_dataset]
+    metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb,
+                            project=cfg.wandb_project, config=_flat_cfg(cfg))
     results = {}
     for ckpt_path in ckpts:
         decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
@@ -255,6 +258,10 @@ def action_eval(cfg):
                      f"loss {res['loss']:.4e}, token top1 {res['token_top1']:.3%}, "
                      f"noun top1 {res['noun_top1']:.3%}, per-pos [{pos_str}]")
             results[(ckpt_path, spec)] = res
+            metrics.log({"model": os.path.basename(ckpt_path), "dataset": spec,
+                         "loss": res["loss"], "token_top1": res["token_top1"],
+                         "noun_top1": res["noun_top1"]})
+    metrics.finish()
     return results
 
 
@@ -291,6 +298,8 @@ def action_eval_cls(cfg):
     all_embeds = np.concatenate(embeds_list)
     all_labels = np.concatenate(labels_list)
 
+    metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb,
+                            project=cfg.wandb_project, config=_flat_cfg(cfg))
     results = {}
     for ckpt_path in ckpts:
         decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
@@ -346,6 +355,10 @@ def action_eval_cls(cfg):
         results[ckpt_path] = {"direct_top1": float(direct_top1),
                               "guided_top1": float(guided_top1),
                               "buckets": buckets, "total": total}
+        metrics.log({"model": os.path.basename(ckpt_path), "dataset": cfg.cls_dataset,
+                     "direct_top1": float(direct_top1), "guided_top1": float(guided_top1),
+                     "total": total, **buckets})
+    metrics.finish()
     return results
 
 
@@ -528,6 +541,15 @@ def action_infer(cfg):
     with open(out_path, "w") as f:
         f.write(json_dumps(output, indent=2))
     log.info(f"Wrote predictions JSON: {out_path}")
+    # Record the run in the local results database (mined by format_wandb)
+    metrics = MetricsLogger(run_dir=os.path.dirname(out_path) or None,
+                            use_wandb=cfg.use_wandb, project=cfg.wandb_project,
+                            config=_flat_cfg(cfg))
+    for model_name, model_out in output["models"].items():
+        for gname in model_out["gencfgs"]:
+            metrics.log({"model": model_name, "gencfg": gname, "samples": len(keys),
+                         "predictions_path": out_path})
+    metrics.finish()
     return output
 
 
@@ -739,6 +761,92 @@ def action_format_preds(cfg):
     else:
         raise ValueError(f"Unsupported predictions format mode: {cfg.format_mode}")
     return grid
+
+
+_FMT_TYPE_ACTIONS = {
+    "eval_gen_cls_v1": {"eval", "eval_cls", "eval_cls_decoding"},
+    "infer_v1": {"infer"},
+    "all_v1": {"eval", "eval_cls", "eval_cls_decoding", "infer"},
+    "all_v2": {"eval", "eval_cls", "eval_cls_decoding", "infer"},
+}
+
+
+def action_format_wandb(cfg):
+    """Mine past runs as a results database and tabulate per model.
+
+    The reference mines the wandb API and scrapes run stdout logs
+    (ref train.py:2935-3336). Here the primary database is the LOCAL run dirs
+    (config.json + metrics.jsonl, written by every eval/eval_cls/
+    eval_cls_decoding/infer run); when use_wandb=true and wandb is importable
+    the same rows are pulled from the wandb API instead."""
+    fmt_type = (cfg.get("fmt_type", "all_v1") or "all_v1").lower()
+    try:
+        wanted = _FMT_TYPE_ACTIONS[fmt_type]
+    except KeyError:
+        raise ValueError(f"Unsupported wandb format type: {cfg.fmt_type}") from None
+    fmt_models = set((cfg.get("fmt_models", "") or "").split())
+
+    rows = []
+    if cfg.use_wandb:
+        try:
+            import wandb
+
+            api = wandb.Api()
+            path = cfg.wandb_project if not cfg.get("wandb_entity") else \
+                f"{cfg.wandb_entity}/{cfg.wandb_project}"
+            for run in api.runs(path=path, filters={"$and": [
+                    {"state": "finished"}, {"config.action": {"$in": sorted(wanted)}}]}):
+                for rec in run.scan_history():
+                    model = rec.get("model")
+                    if model is None or (fmt_models and model not in fmt_models):
+                        continue
+                    rows.append((run.name, run.config.get("action"), model,
+                                 rec.get("dataset") or rec.get("gencfg") or "-",
+                                 {k: v for k, v in rec.items()
+                                  if isinstance(v, (int, float)) and not k.startswith("_")}))
+        except ImportError:
+            log.warning("use_wandb=true but wandb is not installed => mining local run dirs")
+        except Exception as e:  # API/auth/network failures degrade to local mining
+            log.warning(f"wandb API mining failed ({e}) => mining local run dirs")
+    if not rows:
+        import glob as _glob
+
+        output_dir = resolve_path(cfg, cfg.output_dir)
+        for run_dir in sorted(_glob.glob(os.path.join(output_dir, "ovod_*"))):
+            cfg_path = os.path.join(run_dir, "config.json")
+            metrics_path = os.path.join(run_dir, "metrics.jsonl")
+            if not (os.path.isfile(cfg_path) and os.path.isfile(metrics_path)):
+                continue
+            with open(cfg_path) as f:
+                run_cfg = json.load(f)
+            action = run_cfg.get("action")
+            if action not in wanted:
+                continue
+            with open(metrics_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    model = rec.get("model")
+                    if model is None or "_table" in rec or \
+                            (fmt_models and model not in fmt_models):
+                        continue
+                    rows.append((os.path.basename(run_dir), action, model,
+                                 rec.get("dataset") or rec.get("gencfg") or "-",
+                                 {k: v for k, v in rec.items()
+                                  if isinstance(v, (int, float)) and not k.startswith("_")}))
+
+    if not rows:
+        log.warning("No matching runs found to format")
+        return []
+    metric_keys = sorted({k for *_, m in rows for k in m})
+    table = [(run, action, model, ds,
+              *(f"{m[k]:.4g}" if k in m else "-" for k in metric_keys))
+             for run, action, model, ds, m in rows]
+    log.info(f"Results database ({fmt_type}): {len(rows)} rows")
+    _print_table(("Run", "Action", "Model", "Dataset/GenCfg", *metric_keys), table)
+    return rows
 
 
 def action_format_metrics(cfg):

@@ -39,6 +39,7 @@ def build_action_registry() -> dict:
         "infer": actions_eval.action_infer,
         "format_preds": actions_eval.action_format_preds,
         "format_metrics": actions_eval.action_format_metrics,
+        "format_wandb": actions_eval.action_format_wandb,
         "collect_wiki_images": actions_misc.action_collect_wiki_images,
         "sample_images": actions_misc.action_sample_images,
         "convert_embedder": actions_misc.action_convert_embedder,
