@@ -17,18 +17,23 @@ from novic_tpu.train.step import create_train_state, make_train_step
 
 BATCH, ACCUM, INNER, ITERS = 1024, 8, 5, 3  # effective batch 8192 (ref config)
 
+import os
+
+DTYPE = os.environ.get("TRAIN_DTYPE", "float32")
+DROP = float(os.environ.get("TRAIN_DROPOUT", "1"))
 cfg = DecoderModelConfig(embed_dim=768, vocab_size=4096, token_length=12,
                          hidden_dim=512, feedfwd_scale="1/4", mlp_seq_len=4,
-                         num_layers=6, num_heads=8,
-                         input_dropout=0.15, layer_dropout=0.05)
+                         num_layers=6, num_heads=8, compute_dtype=DTYPE,
+                         input_dropout=0.15 * DROP, layer_dropout=0.05 * DROP)
 model = PrefixedIterDecoder(cfg=cfg)
 kd, ke = jax.random.split(jax.random.PRNGKey(0))
 params = jax.jit(model.init)({"params": kd}, jnp.zeros((1, 768), jnp.float32),
                              jnp.zeros((1, 12), jnp.int32))["params"]
 tx = create_optimizer(gradient_clip=1.0)
 state = create_train_state(params, tx)
-noise = EmbeddingNoise.create("GaussElemUniformAngle", vec_norm=3.25,
-                              angle_min=45, angle_max=75, mix_ratio=0.15)
+noise = None if os.environ.get("TRAIN_NOISE", "1") == "0" else \
+    EmbeddingNoise.create("GaussElemUniformAngle", vec_norm=3.25,
+                          angle_min=45, angle_max=75, mix_ratio=0.15)
 step = make_train_step(model, tx, noise=noise, gradient_clip=1.0,
                        accum_steps=ACCUM, donate=False)
 
@@ -44,7 +49,8 @@ for i, L in enumerate(lengths):
 mask = jnp.asarray(np.arange(C)[None, :] > lengths[:, None])
 target = jnp.asarray(target)
 batch = (embed, target, mask, None)
-key = jax.random.PRNGKey(1)
+RNG_IMPL = os.environ.get("TRAIN_RNG", "threefry2x32")
+key = jax.random.key(1, impl=RNG_IMPL)  # typed key: impl survives jit/scan
 
 # One uncached step to warm, then amortized timing (fresh key per iter so the
 # noise differs; state threads through so steps are sequential like training)
@@ -57,7 +63,7 @@ for it in range(ITERS * INNER):
     st, m = step(st, batch, 1e-3, jax.random.fold_in(key, it))
 _ = np.asarray(m["loss_sum"])
 dt = (time.perf_counter() - t0) / (ITERS * INNER)
-print(f"train step (B={BATCH}x{ACCUM} accum): {dt*1000:.2f} ms/step  "
+print(f"train step [{DTYPE} drop={DROP} rng={RNG_IMPL}] (B={BATCH}x{ACCUM} accum): {dt*1000:.2f} ms/step  "
       f"{B/dt:,.0f} noun/s  (ref sustained ~5.6k noun/s incl. IO)", flush=True)
 print(f"18 epochs x 80.4M targets at this rate: {18*80.4e6/(B/dt)/3600:.1f} h compute",
       flush=True)
