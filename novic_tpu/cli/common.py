@@ -20,7 +20,7 @@ from novic_tpu.data.noun_dataset import NounDataset
 from novic_tpu.embedders.base import Embedder
 from novic_tpu.models.base import decoder_class
 from novic_tpu.models.config import DecoderModelConfig
-from novic_tpu.utils.config import resolve_path_tags, sanitize_embedder_spec
+from novic_tpu.utils.config import resolve_path_tags
 from novic_tpu.utils.logger import log
 
 # Flat-config keys that may differ between a loaded checkpoint and the current

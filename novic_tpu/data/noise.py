@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

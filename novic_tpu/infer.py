@@ -18,7 +18,7 @@ import dataclasses
 import itertools
 import os
 import re
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Optional, Sequence, Union
 
 import numpy as np
 

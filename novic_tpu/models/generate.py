@@ -24,7 +24,7 @@ chosen tokens and scores for every non-padded position.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

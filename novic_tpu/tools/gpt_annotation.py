@@ -20,7 +20,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 from novic_tpu.utils.logger import log
 

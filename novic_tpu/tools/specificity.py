@@ -6,7 +6,6 @@ per-noun specificity annotations JSON ({noun: factor})."""
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 from novic_tpu.cli.actions_eval import CATEGORY_WEIGHTS
 

@@ -23,9 +23,7 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
-from novic_tpu.data.grad_accum import GradAccum
 from novic_tpu.data.noise import EmbeddingNoise
-from novic_tpu.train.checkpoint import checkpoint_dir_and_name, save_checkpoint
 from novic_tpu.train.optim import create_optimizer, lr_schedule_per_chunk
 from novic_tpu.train.step import EwaMetrics, TrainState, create_train_state, make_train_step
 from novic_tpu.utils.logger import log

@@ -15,7 +15,7 @@ loop feeds into the jitted step as a scalar.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

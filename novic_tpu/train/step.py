@@ -20,7 +20,6 @@ single small metrics fetch that the host EWA bookkeeping consumes.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
