@@ -114,3 +114,53 @@ def test_cli_full_pipeline(workdir):
 def test_cli_format_metrics(workdir):
     rows = main(["action=format_metrics"] + common_args(workdir))
     assert isinstance(rows, list) and rows  # train runs above wrote metrics.jsonl
+
+
+def test_cli_orbax_checkpoint_train_resume_infer(workdir):
+    """checkpoint_format=orbax: train saves .orbax dirs, resume loads them,
+    eval accepts an .orbax path directly."""
+    args = common_args(workdir)
+    cache = f"{workdir}/noun_cache.bin"  # written by test_cli_full_pipeline
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    out = f"{workdir}/outputs_orbax"
+    args = [a for a in args if not a.startswith("output_dir=")] + [f"output_dir={out}"]
+    state, S, _ = main(["action=train", f"embedding_dataset={cache}", "chunk_scale=4",
+                        "max_chunks=3", "init_lr=3e-3", "save_every_max=2",
+                        "save_top1_min=200", "checkpoint_format=orbax"]
+                       + model_args + args)
+    ckpts = sorted(glob.glob(f"{out}/ovod_*/*.orbax"))
+    assert ckpts and os.path.isdir(ckpts[-1])
+    assert os.path.exists(os.path.join(ckpts[-1], "novic_meta.json"))
+
+    # Resume from the orbax dir with load_lr_state=false (fresh LR restart)
+    _, S2, _ = main(["action=train", f"embedding_dataset={cache}",
+                     f"load_model={ckpts[-1]}", "chunk_scale=4", "max_chunks=5",
+                     "init_lr=3e-3", "load_lr_state=false", "save_every_max=100",
+                     "save_top1_min=200", "checkpoint_format=orbax"]
+                    + model_args + args)
+    assert S2.chunk_id == 6
+
+    results = main(["action=eval", f"embedding_dataset={cache}",
+                    f"load_model={ckpts[-1]}", "eval_debug=true", "eval_guided=true",
+                    "eval_batches=1"] + model_args + args)
+    (_, res), = list(results.items())
+    assert res["noun_top1"] >= 0.0  # ran through the orbax-loaded decoder
+
+
+def test_cli_format_wandb(workdir):
+    """format_wandb mines the local run-dir results database written by eval."""
+    args = common_args(workdir)
+    cache = f"{workdir}/noun_cache.bin"
+    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    main(["action=eval", f"embedding_dataset={cache}", f"load_model={ckpts[-1]}"]
+         + model_args + args)
+    rows = main(["action=format_wandb", "fmt_type=all_v1"] + args)
+    assert rows and any(r[1] == "eval" for r in rows)
+    # infer_v1 filter excludes eval rows
+    rows2 = main(["action=format_wandb", "fmt_type=infer_v1"] + args)
+    assert not any(r[1] == "eval" for r in rows2)
+    with pytest.raises(ValueError, match="format type"):
+        main(["action=format_wandb", "fmt_type=bogus"] + args)
