@@ -207,6 +207,10 @@ class Embedder:
     def is_model_loaded(self) -> bool:
         raise NotImplementedError
 
+    def set_mesh(self, mesh) -> None:
+        """Data-parallel inference over a Mesh('data'); host-side embedders
+        (e.g. the hash test embedder) ignore it."""
+
     def inference_text(self, text: Union[str, Sequence[str]], max_tokens: Optional[int] = None
                        ) -> np.ndarray:
         """Texts → unit-norm float32 embeddings (ref embedders.py:423-426)."""

@@ -225,6 +225,24 @@ class GenerationTask:
             precompute_cache[key] = self.precompute
 
     batch_pad: int = 0  # pad batches up to this size to avoid per-shape recompiles
+    # Data-parallel serving: batches shard over mesh('data'), decoder params
+    # replicate (new TPU-first capability; the reference serves single-device)
+    mesh: Any = None
+    _replicated_params: Any = None
+
+    def _mesh_place(self, embeds: np.ndarray):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.devices.size
+        if embeds.shape[0] % n != 0:
+            raise ValueError(f"Batch size {embeds.shape[0]} not divisible by the "
+                             f"{n}-device mesh (set batch_size to a multiple)")
+        if self._replicated_params is None:
+            self._replicated_params = jax.device_put(
+                self.decoder.params, NamedSharding(self.mesh, P()))
+        return (self._replicated_params,
+                jax.device_put(embeds, NamedSharding(self.mesh, P("data"))))
 
     def generate(self, embeds: np.ndarray, *, precompute: bool = True,
                  precompute_cache: Optional[dict] = None):
@@ -294,7 +312,10 @@ class GenerationTask:
             else:
                 raise ValueError(f"Unsupported generation method: {g.method}")
             self._jit_cache[key] = fn
-        t, p, s = fn(dec.params, np.asarray(embeds, dtype=np.float32))
+        params, e = ((dec.params, np.asarray(embeds, dtype=np.float32))
+                     if self.mesh is None
+                     else self._mesh_place(np.asarray(embeds, dtype=np.float32)))
+        t, p, s = fn(params, e)
         return np.asarray(t), np.asarray(p), np.asarray(s)
 
     def process(self, embeds: np.ndarray, *, class_indices: Optional[Sequence[int]] = None,
@@ -471,12 +492,15 @@ class NOVICModel:
     def _peek_embedder_spec(checkpoint: str) -> Optional[str]:
         import os
 
-        if not os.path.isfile(checkpoint):
+        if not os.path.isfile(checkpoint) and not os.path.isdir(checkpoint):
             raise FileNotFoundError(f"Checkpoint not found: {checkpoint}")
         try:
-            if checkpoint.endswith(".npz"):
-                import json as _json
+            import json as _json
 
+            if os.path.isdir(checkpoint):  # orbax directory checkpoint
+                with open(os.path.join(checkpoint, "novic_meta.json")) as f:
+                    return _json.load(f)["cfg_flat"].get("embedder")
+            if checkpoint.endswith(".npz"):
                 data = np.load(checkpoint, allow_pickle=False)
                 meta = _json.loads(bytes(data["__meta__"]).decode())
                 return meta["cfg_flat"].get("embedder")
@@ -506,6 +530,18 @@ class NOVICModel:
 
     def set_batch_size(self, batch_size: int):
         self.batch_size = batch_size
+
+    def set_mesh(self, mesh) -> None:
+        """Serve data-parallel over a Mesh('data'): embedder towers and the
+        decoder shard batches, params replicate (batch_size must divide by the
+        mesh size). New TPU-first capability — the reference serves
+        single-device (SURVEY.md §2.13)."""
+        self._mesh = mesh
+        self.embedder.set_mesh(mesh)
+        if self.task is not None:
+            self.task.mesh = mesh
+            self.task._replicated_params = None
+            self.task._jit_cache.clear()
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -542,6 +578,8 @@ class NOVICModel:
             guide_targets_set=set(guide_strs),
             guide_targets=guide_ids if (self.gencfg.guided or self.gencfg.method == "all") else None)
         self.task.batch_pad = self.batch_size  # one compile per gencfg, ragged tails padded
+        if getattr(self, "_mesh", None) is not None:
+            self.task.mesh = self._mesh
 
     # -- classification (ref infer.py:314-350) ----------------------------------
 

@@ -140,3 +140,32 @@ def test_generation_task_stats(trained_checkpoint):
         assert task.topk[0] >= 0.7  # beam truncations on the tiny model cap this
         assert all(a <= b + 1e-9 for a, b in zip(task.topk, task.topk[1:]))
         assert task.topk_valid[0] >= task.topk[0]
+
+
+def test_novic_model_mesh_serving(trained_checkpoint):
+    """classify_embeds over an 8-device DP mesh matches single-device output
+    (batches shard over mesh('data'), decoder params replicate)."""
+    import jax
+    from novic_tpu.parallel.mesh import create_mesh
+
+    ckpt_path, _, base = trained_checkpoint
+    model = NOVICModel(ckpt_path, gencfg="beam_k3_vnone_gn_t1_a0", batch_size=8)
+    with model:
+        out_single = model.classify_embeds(base)
+        model.set_mesh(create_mesh(jax.devices()[:8]))
+        out_mesh = model.classify_embeds(base)
+    assert out_mesh.preds == out_single.preds
+    np.testing.assert_allclose(np.asarray(out_mesh.logprobs),
+                               np.asarray(out_single.logprobs), rtol=1e-4, atol=1e-5)
+
+
+def test_novic_model_mesh_batch_divisibility(trained_checkpoint):
+    import jax
+    from novic_tpu.parallel.mesh import create_mesh
+
+    ckpt_path, _, base = trained_checkpoint
+    model = NOVICModel(ckpt_path, gencfg="greedy_k1_vnone_gn_t1_a0", batch_size=7)
+    with model:
+        model.set_mesh(create_mesh(jax.devices()[:8]))
+        with pytest.raises(ValueError, match="not divisible"):
+            model.classify_embeds(base[:7])
