@@ -132,3 +132,26 @@ def test_siglip_text_parity(hf_siglip):
         ref = model.get_text_features(input_ids=torch.from_numpy(toks))
     out = _jit_apply(mine)(t_params, toks.astype(np.int32))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=3e-4, atol=3e-4)
+
+
+def test_text_tower_bf16_causal_finite():
+    """bf16 compute with the -1e30 causal bias stays finite and close to f32
+    (bf16 spans the f32 exponent range, so the bias doesn't overflow)."""
+    import dataclasses
+
+    from novic_tpu.embedders.vit import TextTowerConfig, TextTransformer
+
+    cfg32 = TextTowerConfig(context_length=16, vocab_size=100, width=64, layers=2,
+                            heads=4, embed_dim=64, causal=True, pool="argmax",
+                            compute_dtype="float32")
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    ids = np.random.default_rng(0).integers(1, 99, size=(4, 16)).astype(np.int32)
+    ids[:, -1] = 99  # highest id = pooling position
+    m32, m16 = TextTransformer(cfg=cfg32), TextTransformer(cfg=cfg16)
+    p = jax.jit(m32.init)({"params": jax.random.PRNGKey(0)}, ids)["params"]
+    e32 = np.asarray(jax.jit(m32.apply)({"params": p}, ids))
+    e16 = np.asarray(jax.jit(m16.apply)({"params": p}, ids))
+    assert np.isfinite(e16).all()
+    n32 = e32 / np.linalg.norm(e32, axis=1, keepdims=True)
+    n16 = e16 / np.linalg.norm(e16, axis=1, keepdims=True)
+    assert ((n32 * n16).sum(axis=1) > 0.995).all()
