@@ -65,8 +65,8 @@ def load_vocab_id_map(target_nouns: Sequence[str]) -> dict[str, set[int]]:
 def align_cls_class_targets(class_names: Sequence[str], target_nouns: Sequence[str]
                             ) -> list[list[str]]:
     """Map benchmark class names → lists of matching vocab nouns via canonical
-    forms; unmatched classes keep their own (cleaned) name
-    (ref train.py:4053-4106)."""
+    forms; unmatched classes align to an EMPTY list (they can never score
+    correct; cache_cls rejects them) — ref train.py:4053-4106 semantics."""
     vocab_map = load_vocab_id_map(target_nouns)
     out = []
     unmatched = 0
@@ -77,7 +77,7 @@ def align_cls_class_targets(class_names: Sequence[str], target_nouns: Sequence[s
             out.append([target_nouns[i] for i in sorted(ids)])
         else:
             unmatched += 1
-            out.append([name])
+            out.append([])
     if unmatched:
         log.warning(f"{unmatched}/{len(class_names)} class names have no vocab noun match")
     return out

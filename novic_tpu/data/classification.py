@@ -303,15 +303,21 @@ def load_image_dataset_prompts(name: str, variant: str = "clip",
         from novic_tpu.utils.config import source_dir
 
         data_dir = os.path.join(source_dir(), "data")
-    with open(os.path.join(data_dir, f"cls_prompts_{variant}.json")) as f:
-        cls_prompts = json.load(f)
+    prompts_path = os.path.join(data_dir, f"cls_prompts_{variant}.json")
+    if not os.path.isfile(prompts_path):
+        log.warning(f"Prompt ensemble file not found ({prompts_path}) => "
+                    f"using the generic 'a photo of a ...' prompt")
+        cls_prompts = {}
+    else:
+        with open(prompts_path) as f:
+            cls_prompts = json.load(f)
     alias = {"FashionMNIST": "CIFAR10", "TinyImageNet": "CIFAR100", "Imagenette": "ImageNet1K",
              "Imagewoof": "ImageNet1K", "ImageNet-A": "ImageNet1K", "ImageNet-R": "ImageNet1K"}
     prompts = cls_prompts.get(name_lower)
     if prompts is None and name in alias:
         prompts = cls_prompts.get(alias[name].lower())
     if prompts is None:
-        raise ValueError(f"Failed to resolve {name} prompts")
+        prompts = cls_prompts.get("default", ["a photo of a {c}."])
     return tuple((p.replace("{c}", "{noun}"), False) for p in prompts)
 
 

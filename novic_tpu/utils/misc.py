@@ -84,8 +84,21 @@ class AttrDict(dict):
 # ---------------------------------------------------------------------------
 
 
+def _json_default(o):
+    """Serialize numpy scalars/arrays that leak into result dicts."""
+    import numpy as _np
+
+    if isinstance(o, _np.generic):
+        return o.item()
+    if isinstance(o, _np.ndarray):
+        return o.tolist()
+    raise TypeError(f"Object of type {type(o).__name__} is not JSON serializable")
+
+
 def json_dumps(obj: Any, *, indent: int | str | None = None, **kwargs) -> str:
-    """Dump JSON without indentation inside lists (ref utils.py:405-427)."""
+    """Dump JSON without indentation inside lists (ref utils.py:405-427);
+    numpy scalars/arrays serialize natively."""
+    kwargs.setdefault("default", _json_default)
     lines: list[str] = []
     line_parts: list[str] = []
     open_lists = 0

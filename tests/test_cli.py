@@ -164,3 +164,79 @@ def test_cli_format_wandb(workdir):
     assert not any(r[1] == "eval" for r in rows2)
     with pytest.raises(ValueError, match="format type"):
         main(["action=format_wandb", "fmt_type=bogus"] + args)
+
+
+@pytest.fixture(scope="module")
+def mnist_root(tmp_path_factory):
+    import struct
+
+    import numpy as np
+
+    def write_idx(path, array):
+        array = np.asarray(array, np.uint8)
+        with open(path, "wb") as f:
+            f.write(struct.pack(">I", 0x00000800 | array.ndim))
+            for d in array.shape:
+                f.write(struct.pack(">I", d))
+            f.write(array.tobytes())
+
+    d = tmp_path_factory.mktemp("mnist")
+    raw = d / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    write_idx(raw / "t10k-images-idx3-ubyte", rng.integers(0, 256, (16, 28, 28)))
+    write_idx(raw / "t10k-labels-idx1-ubyte", rng.integers(0, 10, (16,)))
+    write_idx(raw / "train-images-idx3-ubyte", rng.integers(0, 256, (16, 28, 28)))
+    write_idx(raw / "train-labels-idx1-ubyte", rng.integers(0, 10, (16,)))
+    return str(d)
+
+
+def test_cli_zero_shot_and_eval_cls(workdir, mnist_root):
+    """embedder_zero_shot (+measure_gap), cache_cls, eval_cls and
+    eval_cls_decoding all run end-to-end on a synthetic MNIST with the hash
+    embedder (SURVEY §3.3/§3.5 call stacks)."""
+    args = common_args(workdir)
+    cls_args = ["cls_dataset=MNIST", f"cls_dataset_root={mnist_root}",
+                "cls_split=valid", "batch_size_image=8"]
+
+    gap_path = f"{workdir}/gap.json"
+    results = main(["action=embedder_zero_shot", "measure_gap=true",
+                    f"gap_output_path={gap_path}"] + cls_args + args)
+    assert "MNIST" in results and 0.0 <= results["MNIST"] <= 1.0
+    assert os.path.exists(gap_path)
+    gap = json.load(open(gap_path))
+    assert len(gap["mean_shift"]) == 32 and gap["samples"] == 16
+
+    # cache_cls needs class names aligned to the noun vocab: MNIST classes are
+    # "0".."9", so build a digit vocab (unmatched classes error per reference
+    # ClassificationCacheWriter semantics — probed below)
+    digit_vocab = [{"id": i, "target_noun": str(i), "pretty_noun": str(i),
+                    "singulars": [str(i)], "plurals": [f"{i}s"],
+                    "singulars_freq": [1], "plurals_freq": [1], "hypernyms": []}
+                   for i in range(10)]
+    with open(f"{workdir}/digit_vocab.json", "w") as f:
+        json.dump(digit_vocab, f)
+    digit_args = [a if not a.startswith("vocab_path=") else
+                  f"vocab_path={workdir}/digit_vocab.json" for a in args]
+    cls_cache = f"{workdir}/cls_cache.bin"
+    main(["action=cache_cls", f"save_embedding_cache={cls_cache}"]
+         + cls_args + digit_args)
+    assert os.path.exists(cls_cache)
+    # Probe: a vocab with no matching class names errors cleanly
+    with pytest.raises(ValueError, match="non-empty sequences"):
+        main(["action=cache_cls", f"save_embedding_cache={workdir}/bad.bin"]
+             + cls_args + args)
+
+    # eval_cls + eval_cls_decoding against the trained checkpoint
+    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    res = main(["action=eval_cls", f"load_model={ckpts[-1]}"]
+               + cls_args + model_args + args)
+    (path, r), = list(res.items())
+    assert r["total"] == 16 and sum(r["buckets"].values()) == 16
+
+    rows = main(["action=eval_cls_decoding", f"load_model={ckpts[-1]}",
+                 "gencfgs=[greedy_k1_vnone_gn_t1_a0, beam_k2_vnone_gr_t1_a0]"]
+                + cls_args + model_args + args)
+    assert rows  # one row per (dataset, model, gencfg)
