@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from novic_tpu.models.config import DecoderModelConfig
 from novic_tpu.models.layers import (
+    FastDropout,
     NEG_INF,
     EmbeddingVectorMLP,
     Transformer,
@@ -150,7 +151,7 @@ class PrefixedIterDecoder(nn.Module):
             self.token_embedding = None
         self.pos_embedding = self.param(
             "pos_embedding", normal_init(init_embed_std), (cfg.max_seq_len, cfg.hidden_dim))
-        self.input_dropout_mod = nn.Dropout(rate=cfg.input_dropout)
+        self.input_dropout_mod = FastDropout(rate=cfg.input_dropout)
         self.transformer = Transformer(cfg=cfg, name="transformer")
         self.causality_bias = causality_mask(cfg.max_seq_len, cfg.mlp_seq_len, cfg.strictly_causal)
 

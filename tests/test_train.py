@@ -294,3 +294,29 @@ def test_dp_train_step_matches_single_device(setup):
     # because AdamW's g/sqrt(v) normalizes update magnitudes to ~lr
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fast_dropout_statistics():
+    """FastDropout: correct keep rate (1/65536 quantization), inverted-scale
+    outputs, identity when deterministic or rate=0."""
+    import jax.numpy as jnp
+
+    from novic_tpu.models.layers import FastDropout
+
+    x = jnp.ones((64, 257))  # odd element count exercises the unpack tail
+    drop = FastDropout(rate=0.25)
+    y = drop.apply({}, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
+    y = np.asarray(y)
+    kept = y != 0.0
+    assert abs(kept.mean() - 0.75) < 0.01
+    np.testing.assert_allclose(y[kept], 1.0 / 0.75, rtol=1e-6)
+    # Deterministic and rate-0 paths are exact identities
+    y_det = drop.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y_det), np.asarray(x))
+    y0 = FastDropout(rate=0.0).apply({}, x, deterministic=False,
+                                     rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(x))
+    # Different keys give different masks
+    y2 = np.asarray(drop.apply({}, x, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(1)}))
+    assert (np.asarray(y) != y2).any()
