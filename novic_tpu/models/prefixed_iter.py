@@ -45,13 +45,17 @@ def cross_entropy_elems(logits: jnp.ndarray, targets: jnp.ndarray, label_smoothi
     """Per-element CE with ignore_index=-1 (torch F.cross_entropy semantics).
 
     logits: (..., V); targets: (...,) int with -1 = ignored (contributes 0).
-    """
+    Computed as logsumexp(logits) - logits[target] (and mean(logp) =
+    mean(logits) - logsumexp for smoothing) so the full (..., V) log-softmax
+    tensor never materializes — at training scale that tensor is the step's
+    largest intermediate (BENCH_NOTES.md)."""
     valid = targets >= 0
     tsafe = jnp.maximum(targets, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, tsafe[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, tsafe[..., None], axis=-1)[..., 0]
+    nll = lse - picked
     if label_smoothing > 0.0:
-        smooth = -jnp.mean(logp, axis=-1)
+        smooth = lse - jnp.mean(logits, axis=-1)
         loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     else:
         loss = nll
