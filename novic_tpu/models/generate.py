@@ -313,10 +313,20 @@ def generate_beam(
             seq_len = gather_h(seq_len, cand) + (~new_finished).astype(seq_len.dtype)
 
         # Reorder the token-slot KV caches by candidate, then run one decode
-        # step against the shared (un-gathered) prefix caches
-        flat_cand = (cand + jnp.arange(B)[:, None] * H).reshape(-1)  # (B*H,) flat row indices
-        k = [kc[flat_cand] for kc in k]
-        v = [vc[flat_cand] for vc in v]
+        # step against the shared (un-gathered) prefix caches. The reorder is a
+        # one-hot batched matmul, NOT a gather: XLA's TPU gather kernel measured
+        # 109 ms of a 135 ms beam batch (31 GB/s effective), while the matmul
+        # permutation runs at bandwidth (exact: one unit coefficient per row).
+        onehot = jax.nn.one_hot(cand, H, dtype=k[0].dtype)  # (B, Hout, Hin)
+
+        def reorder(x):
+            xr = x.reshape(B, H, -1)
+            out = jnp.einsum("bij,bjf->bif", onehot, xr,
+                             preferred_element_type=xr.dtype)
+            return out.reshape(x.shape)
+
+        k = [reorder(kc) for kc in k]
+        v = [reorder(vc) for vc in v]
         logits_next, k, v = bound.decode_step_split(tok.reshape(-1), step, pk, pv, k, v)
         logits_next = logits_next.reshape(B, H, V)
 
@@ -326,8 +336,11 @@ def generate_beam(
 
     carry = (logits1, target0, padding0, score0, guide_mask0, vocab_mask0, seq_len0, tk0, tv0)
     # NB: raw (unnormalized) cumulative score threads the carry; normalized score is emitted.
+    # unroll: straight-line steps let XLA alias the KV-cache carries through
+    # the per-step candidate reorder (scan carries otherwise add a copy per
+    # step; measured on-chip)
     (logits_f, target, padding, score_raw, _, _, _, _, _), score_seq = jax.lax.scan(
-        body, carry, jnp.arange(1, G + 1))
+        body, carry, jnp.arange(1, G + 1), unroll=True)
 
     target = jnp.where(padding, 0, target)
     final_score = score_seq[-1] if use_alpha else score_raw
