@@ -128,8 +128,9 @@ def generate_greedy(
         return (logits_next, sample_mask, guide_dead, k, v), out
 
     init = (logits1, jnp.zeros((B,), dtype=bool), guide_dead0, k0, v0)
+    # unroll: same carry-aliasing win as beam (see generate_beam)
     _, (seq_logits, tokens, paddings, guide_scores) = jax.lax.scan(
-        body, init, jnp.arange(1, G + 1))
+        body, init, jnp.arange(1, G + 1), unroll=True)
 
     target = jnp.transpose(tokens)            # BxG
     target_padding = jnp.transpose(paddings)  # BxG
