@@ -306,12 +306,20 @@ def load_reference_checkpoint(path: str) -> dict:
 
     Returns params (converted tree), target_config, target_nouns, cfg_flat.
     The reference's checkpoints pickle only builtin/torch classes
-    (ref utils.py:484-537 TorchSaveClasses audit), so weights_only-style
-    loading is safe.
+    (ref utils.py:484-537 TorchSaveClasses audit + train.py:1475 enforcement),
+    so the native restricted unpickler (novic_tpu.train.torch_pickle — no
+    torch import, tensors land as numpy) handles them; torch.load is only a
+    fallback for legacy/exotic files.
     """
-    import torch
+    try:
+        from novic_tpu.train.torch_pickle import load_torch_pickle
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt = load_torch_pickle(path)
+    except Exception as e:
+        log.warning(f"Native torch-pickle reader failed ({e}) => falling back to torch.load")
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     cfg_flat = dict(ckpt["cfg_flat"])
 
     # Rebuild model config from the reference's flat cfg keys

@@ -320,3 +320,50 @@ def test_fast_dropout_statistics():
     y2 = np.asarray(drop.apply({}, x, deterministic=False,
                                rngs={"dropout": jax.random.PRNGKey(1)}))
     assert (np.asarray(y) != y2).any()
+
+
+def test_native_torch_pickle_reader(tmp_path):
+    """The torch-free pickle reader matches torch.load on the reference
+    checkpoint schema: bf16 (widened to f32), 0-d scalars, non-contiguous
+    strides, nested dicts (SURVEY hard part (e))."""
+    torch = pytest.importorskip("torch")
+    from novic_tpu.train.torch_pickle import load_torch_pickle
+
+    ckpt = {
+        "cfg_flat": {"init_lr": 1.5e-3, "model": "PrefixedIterDecoder"},
+        "target_config": {"vocab_size": 7,
+                          "compact_map": torch.arange(10, dtype=torch.int32),
+                          "start_token_id": None},
+        "model_state_dict": {"w": torch.randn(7, 16),
+                             "wb": torch.randn(8, 4).to(torch.bfloat16),
+                             "scale": torch.tensor(0.5)},
+        "strided": torch.randn(4, 6).t(),
+    }
+    path = str(tmp_path / "ref.model")
+    torch.save(ckpt, path)
+    native = load_torch_pickle(path)
+    ref = torch.load(path, weights_only=False)
+    assert native["cfg_flat"] == ref["cfg_flat"]
+    assert native["target_config"]["start_token_id"] is None
+    np.testing.assert_array_equal(native["target_config"]["compact_map"],
+                                  ref["target_config"]["compact_map"].numpy())
+    for k, v in ref["model_state_dict"].items():
+        np.testing.assert_array_equal(np.asarray(native["model_state_dict"][k], np.float32),
+                                      v.float().numpy())
+    np.testing.assert_array_equal(native["strided"], ref["strided"].numpy())
+
+
+def test_native_torch_pickle_rejects_exotic_classes(tmp_path):
+    """Classes outside the reference's TorchSaveClasses audit are refused."""
+    torch = pytest.importorskip("torch")
+    import pickle as _pickle
+
+    from novic_tpu.train.torch_pickle import load_torch_pickle
+
+    import collections
+
+    path = str(tmp_path / "evil.model")
+    # Counter is picklable but outside the audited class set
+    torch.save({"x": collections.Counter(a=1)}, path)
+    with pytest.raises((_pickle.UnpicklingError, AttributeError)):
+        load_torch_pickle(path)
