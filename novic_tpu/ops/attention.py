@@ -18,9 +18,14 @@ Measured on a v5e chip (SigLIP-B/16, B=256, S=196, hd=64): XLA 133.8 ms/batch
 vs this kernel 216.3 ms/batch — XLA's fused attention wins at these shapes
 because this kernel (a) pads hd 64→128 for lane alignment (2× q/k/v/o HBM
 traffic) and (b) launches one grid cell per (batch, head) = 3072 small
-kernels. It therefore stays OFF by default; it is kept as the scaffold for
-shapes where a custom schedule does pay off (longer S towers, head-packed
-lanes) and as the in-repo Pallas reference.
+kernels. Two further designs were measured and also lost (exp/ harnesses,
+BENCH_NOTES.md): jax's bundled flash_attention at S padded to 256 (150 ms
+tower) and a grid-(B,) head-major kernel with all 12 heads per cell (133 ms;
+Mosaic cannot reshape the lane dim in-kernel, and hd=64 lanes still pad).
+The XLA path instead keeps the score tensor + softmax chain in bfloat16,
+which captured most of the available win (97 → 86 ms). This kernel stays OFF
+by default; it is kept as the scaffold for shapes where a custom schedule
+does pay off (longer-S towers) and as the in-repo Pallas reference.
 """
 
 from __future__ import annotations
