@@ -29,10 +29,17 @@ def _native_dir() -> str:
 
 def _build() -> Optional[str]:
     src = os.path.join(_native_dir(), "cacheio.cpp")
-    out = os.path.join(_native_dir(), "_cacheio.so")
     if not os.path.isfile(src):
         return None
-    if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    # Key the artifact on the source content hash: a stale or foreign .so can
+    # never shadow the reviewed C++ source (mtime comparisons always favored
+    # a pre-existing binary on a fresh clone).
+    import hashlib
+
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    out = os.path.join(_native_dir(), f"_cacheio-{digest}.so")
+    if os.path.isfile(out):
         return out
     for cc in ("g++", "c++", "clang++"):
         try:

@@ -504,9 +504,11 @@ class NOVICModel:
                 data = np.load(checkpoint, allow_pickle=False)
                 meta = _json.loads(bytes(data["__meta__"]).decode())
                 return meta["cfg_flat"].get("embedder")
-            import torch
+            # Torch checkpoint: restricted unpickler only — the path is
+            # user-supplied, never feed it to unrestricted pickle.
+            from novic_tpu.train.torch_pickle import load_torch_pickle
 
-            ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+            ckpt = load_torch_pickle(checkpoint)
             return ckpt["cfg_flat"].get("embedder")
         except Exception as e:  # pragma: no cover
             log.warning(f"Could not peek embedder spec from checkpoint: {e}")

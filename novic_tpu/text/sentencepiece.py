@@ -332,11 +332,25 @@ class SentencePieceTokenizer(TextTokenizer):
     tokenization contract)."""
 
     def __init__(self, model_path_or_bytes, context_length: int = 64,
-                 canonicalize: bool = True):
+                 canonicalize: bool = True, prefer_native: bool = False):
         data = (model_path_or_bytes if isinstance(model_path_or_bytes, bytes)
                 else open(model_path_or_bytes, "rb").read())
         self.model = parse_model_proto(data)
         self.sp = SentencePieceProcessor(self.model)
+        # The native processor normalizes with NFKC + whitespace collapsing,
+        # not the model's precompiled nmt_nfkc charsmap; when the official
+        # sentencepiece package is importable, use it for encoding so real
+        # SigLIP .model assets tokenize exactly (exotic normalization cases).
+        self._pkg_sp = None
+        if not prefer_native:
+            try:
+                import sentencepiece as _spm
+
+                pkg = _spm.SentencePieceProcessor()
+                pkg.LoadFromSerializedProto(data)
+                self._pkg_sp = pkg
+            except Exception:
+                self._pkg_sp = None
         self.canonicalize = canonicalize
         eos = self.model.eos_id if self.model.eos_id >= 0 else self.model.unk_id
         pad = self.model.pad_id if self.model.pad_id >= 0 else eos
@@ -348,6 +362,8 @@ class SentencePieceTokenizer(TextTokenizer):
     def encode(self, text: str) -> list[int]:
         if self.canonicalize:
             text = canonicalize_text(text)
+        if self._pkg_sp is not None:
+            return list(self._pkg_sp.EncodeAsIds(text))
         return self.sp.encode(text)
 
     def decode(self, token_ids) -> str:

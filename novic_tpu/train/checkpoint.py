@@ -311,15 +311,24 @@ def load_reference_checkpoint(path: str) -> dict:
     torch import, tensors land as numpy) handles them; torch.load is only a
     fallback for legacy/exotic files.
     """
+    import pickle
+    import zipfile
+
     try:
         from novic_tpu.train.torch_pickle import load_torch_pickle
 
         ckpt = load_torch_pickle(path)
-    except Exception as e:
-        log.warning(f"Native torch-pickle reader failed ({e}) => falling back to torch.load")
+    except pickle.UnpicklingError:
+        # The restricted unpickler REFUSED a class reference — never re-load
+        # such a file through a more permissive path.
+        raise
+    except (zipfile.BadZipFile, StopIteration, KeyError) as e:
+        # Structural/format errors only (legacy non-zip torch format):
+        # weights_only keeps the fallback restricted to tensor/container types.
+        log.warning(f"Native torch-pickle reader failed ({e}) => torch.load(weights_only=True)")
         import torch
 
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
     cfg_flat = dict(ckpt["cfg_flat"])
 
     # Rebuild model config from the reference's flat cfg keys
@@ -368,9 +377,21 @@ def save_reference_checkpoint(path: str, *, params: dict, model_config: DecoderM
 
     state_dict = {k: torch.from_numpy(np.ascontiguousarray(v))
                   for k, v in params_to_torch_state_dict(params, model_config).items()}
+    # Match dataclasses.asdict(model.target_config) as written by ref
+    # train.py:1445-1457: token/mask dtypes are torch.dtype objects and
+    # compact maps are torch.Tensor — ref infer.py:695 does
+    # torch.full(..., dtype=target_config.token_dtype) and ref
+    # embedders.py indexes compact_unmap with tensors, so JSON strings/lists
+    # would fail at runtime inside the reference.
+    tc = target_config.as_jsonable()
+    tc["token_dtype"] = getattr(torch, tc["token_dtype"])
+    tc["mask_dtype"] = getattr(torch, tc["mask_dtype"])
+    for key in ("compact_map", "compact_unmap"):
+        if tc[key] is not None:
+            tc[key] = torch.tensor(tc[key], dtype=tc["token_dtype"])
     ckpt = {
         "cfg_flat": dict(cfg_flat),
-        "target_config": target_config.as_jsonable(),
+        "target_config": tc,
         "data_config": data_config,
         "model_state_dict": state_dict,
         "target_nouns": tuple(target_nouns),

@@ -107,7 +107,13 @@ class _Unpickler(pickle.Unpickler):
             import collections
 
             return collections.OrderedDict
-        if module == "builtins":
+        # Only harmless value constructors — NEVER getattr(builtins, name),
+        # which would expose eval/exec/__import__ to a crafted checkpoint.
+        # Basic containers/scalars arrive via native pickle opcodes and never
+        # reach find_class; these are the only builtins a REDUCE can need.
+        if module == "builtins" and name in ("complex", "set", "frozenset",
+                                             "bytearray", "dict", "list",
+                                             "tuple"):
             import builtins
 
             return getattr(builtins, name)

@@ -110,3 +110,27 @@ def test_tokenizer_truncation():
     ids = tok.tokenize("a a a a a a a a")
     assert ids.shape[1] <= 4
     assert ids[0, -1] == 2  # end token survives truncation
+
+
+def test_pkg_parity_viterbi_and_normalization():
+    """Parity of the native unigram encoder vs the official sentencepiece
+    package over NFKC-sensitive and multi-space inputs (ADVICE r1: exact
+    parity with real .model assets requires the precompiled charsmap — when
+    the package is importable the tokenizer defers to it; this test pins the
+    native encoder to the package on a shared model)."""
+    spm = pytest.importorskip("sentencepiece")
+    data = build_model_proto([
+        ("<pad>", 0.0, CONTROL), ("<unk>", 0.0, UNKNOWN), ("</s>", 0.0, CONTROL),
+        ("▁", -3.0, NORMAL), ("▁a", -1.0, NORMAL), ("a", -2.0, NORMAL),
+        ("b", -2.5, NORMAL), ("▁ab", -1.5, NORMAL), ("c", -2.2, NORMAL),
+        ("▁abc", -1.2, NORMAL), ("ﬁ", -4.0, NORMAL), ("f", -2.8, NORMAL),
+        ("i", -2.9, NORMAL),
+    ], unk_id=1, eos_id=2, pad_id=0)
+    pkg = spm.SentencePieceProcessor()
+    pkg.LoadFromSerializedProto(data)
+    native = SentencePieceTokenizer(data, context_length=16, canonicalize=False,
+                                    prefer_native=True)
+    cases = ["abc", "ab c", "  ab   c  ", "a b", "ﬁb",  # NFKC: ﬁ → fi
+             "ABC", "abc abc abc", "", " "]
+    for text in cases:
+        assert native.encode(text) == list(pkg.EncodeAsIds(text)), text

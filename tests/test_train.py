@@ -156,6 +156,19 @@ def test_reference_torch_checkpoint_interop(setup, tmp_path):
     # Model config round-trips the architecture
     assert loaded["model_config"].hidden_dim == model.cfg.hidden_dim
     assert loaded["model_config"].num_layers == model.cfg.num_layers
+    # The on-disk target_config must carry the reference loader's field types
+    # (ref train.py:1451-1457 writes dataclasses.asdict with torch.dtype +
+    # torch.Tensor values; ref infer.py:695 consumes token_dtype as a dtype).
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    raw_tc = raw["target_config"]
+    assert isinstance(raw_tc["token_dtype"], torch.dtype)
+    assert isinstance(raw_tc["mask_dtype"], torch.dtype)
+    if raw_tc["compact_map"] is not None:
+        assert isinstance(raw_tc["compact_map"], torch.Tensor)
+        assert raw_tc["compact_map"].dtype == raw_tc["token_dtype"]
+        assert isinstance(raw_tc["compact_unmap"], torch.Tensor)
+    torch.full((2, tc.token_length), raw_tc["pad_token_id"],
+               dtype=raw_tc["token_dtype"])  # ref infer.py:695 usage pattern
 
 
 def test_accum_steps_equivalence(setup):
@@ -367,3 +380,49 @@ def test_native_torch_pickle_rejects_exotic_classes(tmp_path):
     torch.save({"x": collections.Counter(a=1)}, path)
     with pytest.raises((_pickle.UnpicklingError, AttributeError)):
         load_torch_pickle(path)
+
+
+def test_native_torch_pickle_rejects_builtins_rce(tmp_path):
+    """A crafted data.pkl that REDUCEs builtins.eval must be refused — the
+    builtins branch is an explicit allowlist, never getattr(builtins, name)."""
+    import io
+    import pickle as _pickle
+    import pickletools
+    import zipfile
+
+    from novic_tpu.train.torch_pickle import load_torch_pickle
+
+    sentinel = str(tmp_path / "pwned")
+    # Hand-assemble: GLOBAL builtins.eval; ('open(...,"w").close()',); REDUCE
+    payload = (
+        b"\x80\x02cbuiltins\neval\n"
+        + b"(X" + len(arg := f"open({sentinel!r}, 'w').close()").to_bytes(4, "little")
+        + arg.encode() + b"t"
+        + b"R."
+    )
+    pickletools.dis(payload, out=io.StringIO())  # well-formed pickle
+    path = str(tmp_path / "rce.model")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+    with pytest.raises(_pickle.UnpicklingError, match="Refusing"):
+        load_torch_pickle(path)
+    import os
+
+    assert not os.path.exists(sentinel), "payload executed — RCE regression"
+
+
+def test_load_reference_checkpoint_never_falls_back_on_refusal(tmp_path):
+    """Files the restricted unpickler REFUSES must not be re-loaded through a
+    more permissive torch.load fallback (permission laundering)."""
+    import pickle as _pickle
+    import zipfile
+
+    from novic_tpu.train.checkpoint import load_reference_checkpoint
+
+    # GLOBAL builtins.eval; ('1+1',); REDUCE
+    payload = b"\x80\x02cbuiltins\neval\n(X\x03\x00\x00\x001+1tR."
+    path = str(tmp_path / "refuse.train")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+    with pytest.raises(_pickle.UnpicklingError):
+        load_reference_checkpoint(path)
