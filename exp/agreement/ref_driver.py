@@ -1,0 +1,123 @@
+"""Reference-side driver for the round-2 agreement proxy.
+
+Runs with PYTHONPATH=/root/reference (cwd there too) so `embedders`, `infer`
+etc. resolve to the REFERENCE modules. All inputs (HF model dir, BPE assets,
+decoder checkpoint) are produced by run_agreement.py and shared byte-for-byte
+with the novic_tpu side; this script only *executes the reference code* on
+them (tokenize / embed / classify on CPU) and dumps the results for
+comparison. No reference code is copied anywhere — it is imported.
+
+Commands:
+  tokens  --hf-dir D --texts-json F --out F.json
+  embed   --hf-dir D [--texts-json F] [--images-json F] --out F.npz
+  labels  --checkpoint C --images-json F --gencfg G --out F.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def _load_texts(path: str) -> list[str]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def cmd_tokens(args) -> None:
+    import transformers
+
+    tok = transformers.AutoTokenizer.from_pretrained(args.hf_dir)
+    texts = _load_texts(args.texts_json)
+    out = [tok.encode(t) for t in texts]
+    with open(args.out, "w") as f:
+        json.dump({"tokenizer_class": type(tok).__qualname__, "token_ids": out}, f)
+    print(f"ref tokens: {len(out)} sequences via {type(tok).__qualname__}")
+
+
+def _create_embedder(hf_dir: str):
+    import embedders  # reference module
+
+    return embedders.Embedder.create(
+        spec=f"transformers:{hf_dir}", amp=False, device="cpu",
+        load_model=True, check=False)
+
+
+def cmd_embed(args) -> None:
+    import torch
+
+    emb = _create_embedder(args.hf_dir)
+    result: dict[str, np.ndarray] = {}
+    with emb.inference_mode():
+        if args.texts_json:
+            texts = _load_texts(args.texts_json)
+            chunks = []
+            for i in range(0, len(texts), emb.inference_batch_size):
+                chunks.append(emb.inference_text(
+                    text=texts[i:i + emb.inference_batch_size]).cpu().numpy())
+            result["text"] = np.concatenate(chunks, axis=0)
+            print(f"ref text embeds: {result['text'].shape}")
+        if args.images_json:
+            import PIL.Image
+
+            paths = _load_texts(args.images_json)
+            transform = emb.get_image_transform()
+            pixel = torch.stack([transform(PIL.Image.open(p).convert("RGB"))
+                                 for p in paths])
+            chunks = []
+            for i in range(0, len(paths), emb.image_batch_size):
+                chunks.append(emb.inference_image(
+                    images=pixel[i:i + emb.image_batch_size]).cpu().numpy())
+            result["image"] = np.concatenate(chunks, axis=0)
+            print(f"ref image embeds: {result['image'].shape}")
+    np.savez(args.out, **result)
+
+
+def cmd_labels(args) -> None:
+    import PIL.Image
+    import infer  # reference module
+
+    model = infer.NOVICModel(checkpoint=args.checkpoint, gencfg=args.gencfg,
+                             device="cpu", batch_size=args.batch_size)
+    paths = _load_texts(args.images_json)
+    images = [PIL.Image.open(p).convert("RGB") for p in paths]
+    with model:
+        output = model.classify_images(images=images)
+    result = {
+        "paths": paths,
+        "preds": output.preds,
+        "logprobs": [[float(x) for x in row] for row in output.logprobs],
+        "types": output.types,
+        "gencfg": model.gencfg.name,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"ref labels: {len(result['preds'])} images, gencfg {model.gencfg.name}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    t = sub.add_parser("tokens")
+    t.add_argument("--hf-dir", required=True)
+    t.add_argument("--texts-json", required=True)
+    t.add_argument("--out", required=True)
+    e = sub.add_parser("embed")
+    e.add_argument("--hf-dir", required=True)
+    e.add_argument("--texts-json")
+    e.add_argument("--images-json")
+    e.add_argument("--out", required=True)
+    l = sub.add_parser("labels")
+    l.add_argument("--checkpoint", required=True)
+    l.add_argument("--images-json", required=True)
+    l.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
+    l.add_argument("--batch-size", type=int, default=16)
+    l.add_argument("--out", required=True)
+    args = p.parse_args()
+    {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

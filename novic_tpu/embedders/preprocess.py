@@ -45,10 +45,12 @@ def preprocess_uint8_device(images: "jax.Array", cfg: PreprocessConfig) -> "jax.
     if cfg.resize_mode == "squash":
         x = jax.image.resize(x, (B, S, S, 3), method="cubic", antialias=True)
     else:
+        # Long side via truncation, matching preprocess_pil_host (which matches
+        # HF image utils / torchvision F.resize short-side semantics).
         if H <= W:
-            new_h, new_w = S, max(int(round(W * S / H)), S)
+            new_h, new_w = S, max(int(W * S / H), S)
         else:
-            new_h, new_w = max(int(round(H * S / W)), S), S
+            new_h, new_w = max(int(H * S / W), S), S
         x = jax.image.resize(x, (B, new_h, new_w, 3), method="cubic", antialias=True)
         top = (new_h - S) // 2
         left = (new_w - S) // 2
@@ -75,10 +77,12 @@ def preprocess_pil_host(images: Sequence, cfg: PreprocessConfig) -> np.ndarray:
             img = img.resize((S, S), PIL.Image.Resampling.BICUBIC)
         else:
             w, h = img.size
+            # Long side via truncation, matching HF image_processing utils and
+            # torchvision F.resize short-side semantics (int(), not round()).
             if h <= w:
-                new_h, new_w = S, max(int(round(w * S / h)), S)
+                new_h, new_w = S, max(int(w * S / h), S)
             else:
-                new_h, new_w = max(int(round(h * S / w)), S), S
+                new_h, new_w = max(int(h * S / w), S), S
             img = img.resize((new_w, new_h), PIL.Image.Resampling.BICUBIC)
             left = (new_w - S) // 2
             top = (new_h - S) // 2

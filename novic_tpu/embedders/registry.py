@@ -91,7 +91,58 @@ REGISTRY: dict[str, EmbedderArch] = {
 
 def lookup(spec: str) -> EmbedderArch:
     if spec not in REGISTRY:
+        arch = _arch_from_local_hf(spec)
+        if arch is not None:
+            REGISTRY[spec] = arch
+            return arch
         raise ValueError(
             f"Unknown embedder spec '{spec}'. Known: {sorted(REGISTRY)} "
             f"(add new architectures to novic_tpu/embedders/registry.py)")
     return REGISTRY[spec]
+
+
+def _arch_from_local_hf(spec: str) -> "EmbedderArch | None":
+    """Derive an EmbedderArch from a local HF CLIP checkpoint directory.
+
+    Lets 'transformers:<local_dir>' specs work for any on-disk HF CLIP model
+    (the reference's TransformersEmbedder accepts arbitrary model ids, ref
+    embedders.py:767-788; with zero egress only local directories resolve).
+    """
+    import json
+    import os
+
+    if ":" not in spec:
+        return None
+    kind, name = spec.split(":", maxsplit=1)
+    cfg_path = os.path.join(name, "config.json")
+    if kind != "transformers" or not os.path.isfile(cfg_path):
+        return None
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    if hf.get("model_type") != "clip":
+        return None
+    v, t = hf["vision_config"], hf["text_config"]
+    act = {"quick_gelu": "quick_gelu", "gelu": "gelu",
+           "gelu_new": "gelu_tanh", "gelu_pytorch_tanh": "gelu_tanh"}[
+        v.get("hidden_act", "quick_gelu")]
+    embed_dim = hf.get("projection_dim", 512)
+    return EmbedderArch(
+        vision=VisionTowerConfig(
+            image_size=v.get("image_size", 224), patch_size=v.get("patch_size", 32),
+            width=v.get("hidden_size", 768), layers=v.get("num_hidden_layers", 12),
+            heads=v.get("num_attention_heads", 12),
+            mlp_ratio=v.get("intermediate_size", 3072) / v.get("hidden_size", 768),
+            embed_dim=embed_dim, act=act, use_class_token=True, patch_bias=False,
+            pre_ln=True, pool="cls", layer_norm_eps=v.get("layer_norm_eps", 1e-5)),
+        text=TextTowerConfig(
+            context_length=t.get("max_position_embeddings", 77),
+            vocab_size=t.get("vocab_size", 49408), width=t.get("hidden_size", 512),
+            layers=t.get("num_hidden_layers", 12), heads=t.get("num_attention_heads", 8),
+            mlp_ratio=t.get("intermediate_size", 2048) / t.get("hidden_size", 512),
+            embed_dim=embed_dim, act=act, causal=True, pool="argmax", proj_bias=False,
+            layer_norm_eps=t.get("layer_norm_eps", 1e-5)),
+        preprocess=PreprocessConfig(size=v.get("image_size", 224),
+                                    resize_mode="shortest", mean=CLIP_MEAN, std=CLIP_STD),
+        tokenizer="clip_bpe",
+        family="clip",
+    )
