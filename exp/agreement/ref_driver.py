@@ -89,7 +89,7 @@ def cmd_labels(args) -> None:
         "paths": paths,
         "preds": output.preds,
         "logprobs": [[float(x) for x in row] for row in output.logprobs],
-        "types": output.types,
+        "types": [[getattr(t, "name", str(t)) for t in row] for row in output.types],
         "gencfg": model.gencfg.name,
     }
     with open(args.out, "w") as f:

@@ -453,10 +453,17 @@ def export_reference_model(our_ckpt: str) -> str:
         # extra keys our NOVICModel peeks
         "embedder": f"transformers:{hf_dir}",
     }
+    # The reference's TransformersEmbedder produces int64 tokens (ref
+    # embedders.py:833 token_dtype=torch.int64), and its beam search
+    # preallocates topk index buffers with target_config.token_dtype — declare
+    # the dtype the reference backend would have used.
+    import dataclasses
+
+    tc = dataclasses.replace(ck["target_config"], token_dtype="int64")
     path = os.path.join(WORK, "agreement.model")
     save_reference_checkpoint(
         path, params=ck["params"], model_config=mc,
-        target_config=ck["target_config"], target_nouns=ck["target_nouns"],
+        target_config=tc, target_nouns=ck["target_nouns"],
         num_invalid_target_nouns=ck["num_invalid_target_nouns"],
         cfg_flat=cfg_flat)
     log(f"exported reference .model: {path}")

@@ -117,10 +117,18 @@ def action_embedder_zero_shot(cfg):
                                       transform=embedder.get_image_transform(),
                                       shuffle=False)
         correct = total = 0
-        # Welford angle stats + mean-shift accumulation (ref train.py:713-774)
-        gap_n = 0
+        # Angle stats (true-class + all-pairs) + histograms + mean-shift
+        # accumulation, matching the reference gap-JSON schema byte-for-byte
+        # in structure (ref train.py:713-774: 360-bin 0-180° histograms,
+        # cfg_embedder/cfg_cls blocks, all_angle_* over every image-class pair)
+        histc_min, histc_max, histc_bins = 0, 180, 360
+        gap_n = gap_n_all = 0
         gap_mean = np.zeros(embedder.embed_dim, np.float64)
         angle_sum = angle_sq_sum = 0.0
+        all_angle_sum = all_angle_sq_sum = 0.0
+        angle_histc = np.zeros(histc_bins, np.int64)
+        all_angle_histc = np.zeros(histc_bins, np.int64)
+        edges = np.linspace(histc_min, histc_max, histc_bins + 1)
         for pixel, labels in loader:
             img_embeds = embedder.inference_image(pixel)
             logits = img_embeds @ text_embeds.T
@@ -128,14 +136,19 @@ def action_embedder_zero_shot(cfg):
             correct += int((pred == labels).sum())
             total += len(labels)
             if cfg.measure_gap:
+                all_ang = np.degrees(np.arccos(np.clip(logits, -1, 1)))
+                all_angle_sum += all_ang.sum()
+                all_angle_sq_sum += (all_ang ** 2).sum()
+                all_angle_histc += np.histogram(all_ang, bins=edges)[0]
+                gap_n_all += all_ang.size
                 t = text_embeds[labels]
-                diff = img_embeds - t
-                gap_mean += diff.sum(axis=0)
+                gap_mean += (img_embeds - t).sum(axis=0)
                 gap_n += len(labels)
                 cos = np.clip((img_embeds * t).sum(axis=1), -1, 1)
                 ang = np.degrees(np.arccos(cos))
                 angle_sum += ang.sum()
                 angle_sq_sum += (ang ** 2).sum()
+                angle_histc += np.histogram(ang, bins=edges)[0]
         top1 = correct / max(total, 1)
         log.info(f"Zero-shot {ds_name}: top-1 {top1:.2%} ({correct}/{total})")
         results[ds_name] = top1
@@ -143,14 +156,34 @@ def action_embedder_zero_shot(cfg):
             mean_shift = (gap_mean / max(gap_n, 1)).astype(np.float32)
             angle_mean = angle_sum / max(gap_n, 1)
             angle_std = float(np.sqrt(max(angle_sq_sum / max(gap_n, 1) - angle_mean ** 2, 0)))
-            gap = {"cfg_embedder": cfg.embedder, "dataset": ds_name, "samples": gap_n,
-                   "angle_mean_deg": angle_mean, "angle_std_deg": angle_std,
-                   "mean_shift": mean_shift.tolist()}
+            all_angle_mean = all_angle_sum / max(gap_n_all, 1)
+            all_angle_std = float(np.sqrt(max(
+                all_angle_sq_sum / max(gap_n_all, 1) - all_angle_mean ** 2, 0)))
+            gap = {
+                "cfg_embedder": {"device": "tpu", "allow_tf32": False,
+                                 "embedder_spec": cfg.embedder,
+                                 "embedder_amp": cfg.embedder_compute_dtype != "float32",
+                                 "embedder_amp_bf16": cfg.embedder_compute_dtype == "bfloat16",
+                                 "embedder_compile": True, "embedder_optimum": False},
+                "cfg_cls": {"cls_dataset": ds_name, "cls_split": cfg.cls_split,
+                            "clip_prompts": True},
+                "all_angle_mean": all_angle_mean,
+                "all_angle_std": all_angle_std,
+                "all_angle_histc": {"min": histc_min, "max": histc_max,
+                                    "bins": histc_bins,
+                                    "counts": all_angle_histc.tolist()},
+                "angle_mean": angle_mean,
+                "angle_std": angle_std,
+                "angle_histc": {"min": histc_min, "max": histc_max,
+                                "bins": histc_bins, "counts": angle_histc.tolist()},
+                "mean_shift": mean_shift.tolist(),
+            }
             out_path = resolve_path(cfg, cfg.gap_output_path)
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             with open(out_path, "w") as f:
                 f.write(json_dumps(gap, indent=2))
-            log.info(f"Wrote modality gap JSON (angle {angle_mean:.1f}±{angle_std:.1f}°): {out_path}")
+            log.info(f"Wrote modality gap JSON (angle {angle_mean:.1f}±{angle_std:.1f}°, "
+                     f"all {all_angle_mean:.1f}±{all_angle_std:.1f}°): {out_path}")
     return results
 
 

@@ -155,6 +155,15 @@ def params_to_torch_state_dict(params: dict, cfg: DecoderModelConfig) -> dict:
         else:
             raise ValueError(f"Unknown param path: {path}")
         out[key] = np.asarray(arr)
+    # The reference registers the causal mask as a persistent buffer, so a
+    # strict state-dict load requires it (ref embedding_decoder.py:651-654:
+    # upper-triangular -inf over max_seq_len, prefix block un-masked unless
+    # strictly_causal). Derived from config, not learned.
+    L = cfg.mlp_seq_len + cfg.token_length - 1
+    mask = np.triu(np.full((L, L), -np.inf, dtype=np.float32), k=1)
+    if not cfg.strictly_causal:
+        mask[:cfg.mlp_seq_len, :cfg.mlp_seq_len] = 0.0
+    out["causality_mask"] = mask
     return out
 
 

@@ -205,7 +205,12 @@ def test_cli_zero_shot_and_eval_cls(workdir, mnist_root):
     assert "MNIST" in results and 0.0 <= results["MNIST"] <= 1.0
     assert os.path.exists(gap_path)
     gap = json.load(open(gap_path))
-    assert len(gap["mean_shift"]) == 32 and gap["samples"] == 16
+    # Reference gap-JSON schema (ref train.py:762-774)
+    assert len(gap["mean_shift"]) == 32
+    assert gap["angle_histc"]["bins"] == 360 and sum(gap["angle_histc"]["counts"]) == 16
+    assert gap["all_angle_histc"]["bins"] == 360
+    assert gap["all_angle_mean"] > 0 and gap["angle_std"] >= 0
+    assert gap["cfg_embedder"]["embedder_spec"] and gap["cfg_cls"]["cls_dataset"]
 
     # cache_cls needs class names aligned to the noun vocab: MNIST classes are
     # "0".."9", so build a digit vocab (unmatched classes error per reference
