@@ -45,7 +45,7 @@ def main():
     from novic_tpu.embedders.preprocess import PreprocessConfig, preprocess_uint8_device
     from novic_tpu.embedders.vit import VisionTowerConfig, VisionTransformer
     from novic_tpu.models import DecoderModelConfig, PrefixedIterDecoder
-    from novic_tpu.models.generate import generate_greedy
+    from novic_tpu.models.generate import generate_beam, generate_greedy
 
     # SigLIP-B/16 vision tower + released decoder hyperparams
     if SMALL:
@@ -85,45 +85,81 @@ def main():
 
     raw_dev = make_frames(ki)
 
-    def one_batch(v_params, d_params, raw_images):
+    def embed_batch(v_params, raw_images):
         images = preprocess_uint8_device(raw_images, pcfg)
         feats = vision.apply({"params": v_params}, images)
-        embeds = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+
+    def one_batch_greedy(v_params, d_params, raw_images):
+        embeds = embed_batch(v_params, raw_images)
         target, padding, _, _, _, _ = generate_greedy(decoder, d_params, embeds)
         # Tiny checksum: fetching it forces completion of the whole batch
         return target.sum() + padding.sum()
 
-    @jax.jit
-    def pipeline(v_params, d_params, raw_images):
-        if INNER <= 1:
-            return one_batch(v_params, d_params, raw_images)
+    def one_batch_beam(v_params, d_params, raw_images):
+        # The reference's product default is beam k=10 (ref infer.py:55);
+        # its 143 img/s baseline is beam decode end-to-end (paper §4).
+        embeds = embed_batch(v_params, raw_images)
+        out = generate_beam(decoder, d_params, embeds, topk=10)
+        target, padding = out[0], out[1]
+        return target.sum() + padding.sum()
 
-        def body(i, acc):
-            # Vary the input per iteration so the loop body cannot be CSE'd
-            return acc + one_batch(v_params, d_params,
-                                   raw_images + i.astype(jnp.uint8))
+    def make_pipeline(one_batch, inner):
+        @jax.jit
+        def pipeline(v_params, d_params, raw_images):
+            if inner <= 1:
+                return one_batch(v_params, d_params, raw_images)
 
-        return jax.lax.fori_loop(0, INNER, body, jnp.int32(0))
+            def body(i, acc):
+                # Vary the input per iteration so the loop body cannot be CSE'd
+                return acc + one_batch(v_params, d_params,
+                                       raw_images + i.astype(jnp.uint8))
 
-    for _ in range(WARMUP):
-        _ = np.asarray(pipeline(v_params, d_params, raw_dev))
+            return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+        return pipeline
+
+    def timeit(pipeline, raw, iters, inner, batch):
+        for _ in range(WARMUP):
+            _ = np.asarray(pipeline(v_params, d_params, raw))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = np.asarray(pipeline(v_params, d_params, raw))
+        elapsed = time.perf_counter() - t0
+        return batch * iters * max(inner, 1) / elapsed
 
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        _ = np.asarray(pipeline(v_params, d_params, raw_dev))
-    elapsed = time.perf_counter() - t0
+
+    # Headline: e2e BEAM k=10 at B=256 — like-for-like with the reference's
+    # 143 img/s baseline (beam decode, paper §4). Greedy reported alongside.
+    beam_ips = timeit(make_pipeline(one_batch_beam, INNER), raw_dev, ITERS, INNER, BATCH)
+    greedy_ips = timeit(make_pipeline(one_batch_greedy, INNER), raw_dev, ITERS, INNER, BATCH)
+
+    # Single-image latency: K sequential B=1 pipelines on device; per-image
+    # time is the p50 proxy (deterministic identical work; excludes the
+    # ~32 ms axon-tunnel roundtrip a local host would not pay). Reference
+    # baseline: 26 ms/img single-image beam e2e (paper §4).
+    raw_one = raw_dev[:1]
+    lat_inner = 20 if not SMALL else 4
+    lat_ips = timeit(make_pipeline(one_batch_beam, lat_inner), raw_one,
+                     max(ITERS, 2), lat_inner, 1)
+    p50_ms = 1000.0 / lat_ips
+
     if profile_dir:
         jax.profiler.stop_trace()
 
-    img_per_sec = BATCH * ITERS * max(INNER, 1) / elapsed
     result = {
-        "metric": "end_to_end_images_per_sec_b256_siglip_b16_greedy",
-        "value": round(img_per_sec, 2),
+        "metric": "end_to_end_images_per_sec_b256_siglip_b16_beam_k10",
+        "value": round(beam_ips, 2),
         "unit": "img/s",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "vs_baseline": round(beam_ips / BASELINE_IMG_PER_SEC, 3),
+        "extra": {
+            "greedy_img_per_sec_b256": round(greedy_ips, 2),
+            "greedy_vs_baseline": round(greedy_ips / BASELINE_IMG_PER_SEC, 3),
+            "single_image_p50_ms_beam_k10": round(p50_ms, 3),
+            "single_image_p50_vs_baseline_26ms": round(26.0 / p50_ms, 3),
+        },
     }
     print(json.dumps(result))
 

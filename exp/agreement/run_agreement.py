@@ -400,7 +400,7 @@ def phase_train() -> str:
     ]
     cache = os.path.join(WORK, "noun_cache.bin")
     if not os.path.exists(cache):
-        cli(["action=cache_noun_dataset", f"save_embedding_cache={cache}"] + common)
+        cli(["action=convert_noun_dataset", f"save_embedding_cache={cache}"] + common)
     model_args = ["batch_size=256", "hidden_dim=256", "num_layers=4", "num_heads=8",
                   "mlp_seq_len=4", "input_dropout=0.0", "layer_dropout=0.0",
                   "noise_scheme=GaussElem", "noise_vec_norm=1.0"]

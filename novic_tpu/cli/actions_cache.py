@@ -48,16 +48,23 @@ def _cache_expectation(embedder):
 
 
 def action_cache_noun_dataset(cfg):
-    """Noun dataset → FSID-expanded cache (ref train.py:781-812)."""
+    """Ensure the noun dataset's OWN cache exists and passes its sanity check
+    (ref train.py:781-793: use_cache=True + enter loaded(); no embedding-cache
+    file is written — that is convert_noun_dataset's job)."""
+    embedder = load_embedder(cfg, load_model=False)
+    dataset = load_noun_dataset(cfg, embedder, use_cache=True)
+    gen_target_config(cfg, embedder, dataset.targets)
+    with dataset.loaded():
+        pass
+    log.info("Finished ensuring noun dataset is cached")
+
+
+def action_convert_noun_dataset(cfg):
+    """Noun dataset → FSID-expanded embedding cache (ref train.py:798-812)."""
     embedder = load_embedder(cfg, load_model=False)
     dataset = load_noun_dataset(cfg, embedder, use_cache=False)
     gen_target_config(cfg, embedder, dataset.targets)
     NounDatasetCacheWriter(save_cache_path(cfg), dataset, seed=cfg.seed).generate()
-
-
-# convert_noun_dataset is the same operation with the noun dataset's own cache
-# as source (ref train.py:795-812); both paths stream unique samples here.
-action_convert_noun_dataset = action_cache_noun_dataset
 
 
 def action_cache_noun_multiset(cfg):

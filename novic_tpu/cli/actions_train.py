@@ -23,6 +23,7 @@ from novic_tpu.cli.common import (
     load_mean_shift,
     make_run_dir,
     model_config_from_cfg,
+    resolve_path,
 )
 from novic_tpu.data.grad_accum import GradAccum
 from novic_tpu.data.noise import EmbeddingNoise
@@ -176,12 +177,29 @@ def action_train(cfg):
 
 
 def action_fix_checkpoints(cfg):
-    """Retrofit target_nouns into legacy checkpoints missing them
-    (ref train.py:1487-1643)."""
+    """Retrofit target_nouns into legacy checkpoints missing them — both our
+    native .npz and the reference's torch .train/.model pickles (the action's
+    whole purpose in the reference is fixing legacy torch checkpoints, ref
+    train.py:1487-1643). Supports dry_run."""
     import glob
 
-    output_dir = os.path.expanduser(cfg.output_dir)
+    output_dir = resolve_path(cfg, cfg.output_dir)
+    dry = bool(cfg.get("dry_run"))
     fixed = scanned = 0
+    target_nouns = None  # computed lazily, once
+
+    def get_target_nouns():
+        nonlocal target_nouns
+        if target_nouns is None:
+            embedder = load_embedder(cfg, load_model=False)
+            from novic_tpu.cli.common import load_noun_dataset
+
+            dataset = load_noun_dataset(cfg, embedder, use_cache=False)
+            # Checkpoint convention: row 0 is the invalid "" noun
+            # (ref train.py:1546-1549 target_nouns_bin)
+            target_nouns = (("",) + tuple(dataset.targets), 1)
+        return target_nouns
+
     for path in sorted(glob.glob(os.path.join(output_dir, "ovod_*", "*.npz"))):
         scanned += 1
         try:
@@ -191,13 +209,46 @@ def action_fix_checkpoints(cfg):
             continue
         if ckpt["target_nouns"]:
             continue
-        embedder = load_embedder(cfg, load_model=False)
-        dataset = load_embedding_dataset(cfg, embedder, training=True)
+        nouns, num_invalid = get_target_nouns()
+        if dry:
+            log.info(f"[dry run] would fix {path} (+{len(nouns)} target nouns)")
+            fixed += 1
+            continue
         save_checkpoint(path, params=ckpt["params"], cfg_flat=ckpt["cfg_flat"],
                         model_config=ckpt["model_config"], target_config=ckpt["target_config"],
-                        data_config=ckpt["data_config"], target_nouns=dataset.targets,
-                        num_invalid_target_nouns=dataset.num_invalid_targets,
+                        data_config=ckpt["data_config"], target_nouns=nouns,
+                        num_invalid_target_nouns=num_invalid,
                         opt_state_arrays=ckpt["opt_arrays"], train_meta=ckpt["train_meta"])
         fixed += 1
         log.info(f"Fixed checkpoint: {path}")
-    log.info(f"fix_checkpoints: scanned {scanned}, fixed {fixed}")
+
+    # Reference torch checkpoints: load with the torch reader (tensor values
+    # preserved), insert the vocabulary, save back with torch.
+    for pattern in ("*.train", "*.model"):
+        for path in sorted(glob.glob(os.path.join(output_dir, "ovod_*", pattern))):
+            scanned += 1
+            try:
+                import torch
+
+                ckpt = torch.load(path, map_location="cpu", weights_only=True)
+            except Exception as e:
+                log.warning(f"Skipping unreadable torch checkpoint {path}: {e}")
+                continue
+            if not isinstance(ckpt, dict) or "cfg_flat" not in ckpt:
+                log.warning(f"Skipping {path}: not a reference checkpoint dict")
+                continue
+            if ckpt.get("target_nouns"):
+                continue
+            nouns, num_invalid = get_target_nouns()
+            if dry:
+                log.info(f"[dry run] would fix {path} (+{len(nouns)} target nouns)")
+                fixed += 1
+                continue
+            ckpt["target_nouns"] = nouns
+            ckpt["num_invalid_target_nouns"] = num_invalid
+            torch.save(ckpt, path)
+            fixed += 1
+            log.info(f"Fixed torch checkpoint: {path}")
+    log.info(f"fix_checkpoints: scanned {scanned}, fixed {fixed}"
+             f"{' (dry run)' if dry else ''}")
+    return fixed

@@ -53,7 +53,7 @@ def test_cli_test_embed_cache(workdir):
 def test_cli_full_pipeline(workdir):
     args = common_args(workdir)
     cache = f"{workdir}/noun_cache.bin"
-    main(["action=cache_noun_dataset", f"save_embedding_cache={cache}"] + args)
+    main(["action=convert_noun_dataset", f"save_embedding_cache={cache}"] + args)
     assert os.path.exists(cache)
 
     main(["action=test_data_loader", f"embedding_dataset={cache}",
@@ -245,3 +245,51 @@ def test_cli_zero_shot_and_eval_cls(workdir, mnist_root):
                  "gencfgs=[greedy_k1_vnone_gn_t1_a0, beam_k2_vnone_gr_t1_a0]"]
                 + cls_args + model_args + args)
     assert rows  # one row per (dataset, model, gencfg)
+
+
+def test_cli_cache_noun_dataset_ensures_noun_cache(workdir, tmp_path):
+    """cache_noun_dataset ensures the noun dataset's OWN cache (ref
+    train.py:781-793) — distinct from convert_noun_dataset, which writes an
+    embedding cache."""
+    cache_dir = tmp_path / "noun_cache_dir"
+    main(["action=cache_noun_dataset", f"noun_cache_dir={cache_dir}"]
+         + common_args(workdir))
+    files = list(cache_dir.glob("noun_cache_*.bin"))
+    assert files, "noun dataset cache was not generated"
+    # Re-entry uses (and sanity-checks) the existing cache
+    main(["action=cache_noun_dataset", f"noun_cache_dir={cache_dir}"]
+         + common_args(workdir))
+    assert list(cache_dir.glob("noun_cache_*.bin")) == files
+
+
+def test_cli_fix_checkpoints_reference_torch(workdir, tmp_path):
+    """fix_checkpoints retrofits target_nouns into legacy REFERENCE torch
+    checkpoints (the action's core purpose, ref train.py:1487-1643)."""
+    torch = pytest.importorskip("torch")
+    out_dir = tmp_path / "outputs" / "ovod_20240101_000000"
+    out_dir.mkdir(parents=True)
+    legacy = {
+        "cfg_flat": {"action": "train", "model": "PrefixedIterDecoder"},
+        "target_config": {"vocab_size": 8},
+        "data_config": {},
+        "model_state_dict": {"w": torch.zeros(2, 2)},
+    }
+    path = str(out_dir / "ovod_chunk0001_20240101_000000.train")
+    torch.save(legacy, path)
+
+    args = common_args(workdir) + [f"output_dir={tmp_path}/outputs"]
+    args = [a for a in args if not a.startswith("output_dir=")] + [f"output_dir={tmp_path}/outputs"]
+
+    # Dry run: reports but does not write
+    fixed = main(["action=fix_checkpoints", "dry_run=true"] + args)
+    assert fixed == 1
+    assert "target_nouns" not in torch.load(path, weights_only=True)
+
+    fixed = main(["action=fix_checkpoints"] + args)
+    assert fixed == 1
+    fixed_ckpt = torch.load(path, weights_only=True)
+    assert fixed_ckpt["target_nouns"][0] == ""
+    assert fixed_ckpt["num_invalid_target_nouns"] == 1
+    assert "dog" in fixed_ckpt["target_nouns"]
+    # Second pass: nothing left to fix
+    assert main(["action=fix_checkpoints"] + args) == 0
