@@ -141,3 +141,138 @@ def test_specificity_score():
     spec = {"dog": 0.9, "cat": 1.0}
     scores = specificity_score(preds, anns, spec)
     assert abs(scores[("m", "g")] - (1.0 * 0.9 + 0.5 * 1.0) / 2) < 1e-9
+
+
+class _FakeRemote:
+    """Offline OpenAI Batch API double: files + batches with a controllable
+    completion schedule (completes a batch after `lag` polls)."""
+
+    class _Obj:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def __init__(self, lag=1, category="correct_primary"):
+        self.lag = lag
+        self.category = category
+        self.files_store = {}
+        self.batches_store = {}
+        self.deleted = []
+        self.n = 0
+        outer = self
+
+        class Files:
+            def create(self, file, purpose):
+                outer.n += 1
+                fid = f"file-{outer.n}"
+                outer.files_store[fid] = file.read().decode()
+                return outer._Obj(id=fid)
+
+            def content(self, file_id):
+                return outer._Obj(text=outer.files_store[file_id])
+
+            def delete(self, file_id):
+                outer.deleted.append(file_id)
+                outer.files_store.pop(file_id, None)
+
+        class Batches:
+            def create(self, completion_window, endpoint, input_file_id, metadata):
+                outer.n += 1
+                bid = f"batch-{outer.n}"
+                outer.batches_store[bid] = {"input": input_file_id, "polls": 0}
+                return outer._Obj(id=bid)
+
+            def retrieve(self, batch_id):
+                b = outer.batches_store[batch_id]
+                b["polls"] += 1
+                if b["polls"] <= outer.lag:
+                    return outer._Obj(id=batch_id, status="in_progress")
+                # Produce responses for every request in the input JSONL
+                lines = []
+                import json as _json
+
+                for line in outer.files_store[b["input"]].splitlines():
+                    req = _json.loads(line)
+                    lines.append(_json.dumps({
+                        "custom_id": req["custom_id"],
+                        "response": {"body": {
+                            "choices": [{"message": {"content": outer.category}}],
+                            "usage": {"prompt_tokens": 100, "completion_tokens": 2,
+                                      "total_tokens": 102}}}}))
+                outer.n += 1
+                out_id = f"file-{outer.n}"
+                outer.files_store[out_id] = "\n".join(lines)
+                return outer._Obj(id=batch_id, status="completed",
+                                  output_file_id=out_id, error_file_id=None)
+
+        self.files = Files()
+        self.batches = Batches()
+
+
+def test_batch_lifecycle_roundtrip(tmp_path):
+    """Full offline Batch API round-trip: submit under quotas -> poll ->
+    download -> vote -> cleanup -> export (ref gpt_annotation.py:299-960)."""
+    from novic_tpu.tools.gpt_annotation import BatchAnnotationDriver
+
+    fake = _FakeRemote(lag=1)
+    sleeps = []
+    drv = BatchAnnotationDriver(str(tmp_path / "state.json"), client=fake,
+                                max_batch_requests=4, max_pending_batches=2,
+                                poll_interval=0.0, sleep=sleeps.append)
+    pairs = [(f"/x/img{i}.jpg", noun) for i, noun in
+             enumerate(["dog", "cat", "apple"])]
+    drv.run(pairs)
+    # 3 pairs x MIN_OPINIONS(3) = 9 requests at <=4/batch => 3 batches,
+    # capped at 2 pending => the quota gate had to block at least once
+    assert not drv.pending
+    assert drv.usage["requests"] == 9
+    ann_path = tmp_path / "ann.json"
+    drv.export(str(ann_path))
+    import json as _json
+
+    ann = _json.loads(ann_path.read_text())
+    assert ann == {"img0.jpg": {"correct_primary": ["dog"]},
+                   "img1.jpg": {"correct_primary": ["cat"]},
+                   "img2.jpg": {"correct_primary": ["apple"]}}
+    # Remote cleanup: every uploaded/output file deleted
+    assert not fake.files_store
+    # Local cleanup: no leftover JSONLs
+    assert not list((tmp_path / "batches").glob("*.jsonl"))
+
+
+def test_batch_lifecycle_resume(tmp_path):
+    """Pending batches persist in the state file and resume across drivers."""
+    from novic_tpu.tools.gpt_annotation import BatchAnnotationDriver
+
+    fake = _FakeRemote(lag=100)  # never completes during first driver
+    drv = BatchAnnotationDriver(str(tmp_path / "state.json"), client=fake,
+                                max_batch_requests=100, poll_interval=0.0,
+                                sleep=lambda s: None)
+    drv.submit([("/x/a.jpg", "dog")])
+    assert len(drv.pending) == 1
+    assert drv.poll_once() == 0  # still in progress
+
+    # New driver resumes the pending batch; in-flight requests are NOT re-sent
+    fake.lag = 0
+    drv2 = BatchAnnotationDriver(str(tmp_path / "state.json"), client=fake,
+                                 max_batch_requests=100, poll_interval=0.0,
+                                 sleep=lambda s: None)
+    assert len(drv2.pending) == 1
+    assert drv2.submit([("/x/a.jpg", "dog")]) == 0
+    assert drv2.poll_once() == 1
+    assert drv2.states[("a.jpg", "dog")].opinions == ["correct_primary"] * 3
+
+
+def test_backoff_waiter():
+    from novic_tpu.tools.gpt_annotation import BackoffWaiter
+
+    waits = []
+    w = BackoffWaiter(allowed_failures=2, base_wait=10, max_wait=100,
+                      factor=2.0, sleep=waits.append)
+    assert w.update(False) == 0.0 and w.update(False) == 0.0  # free failures
+    assert w.update(False) == 10.0
+    assert w.update(False) == 20.0
+    assert w.update(True) == 0.0  # reset
+    assert w.update(False) == 0.0
+    for _ in range(10):
+        w.update(False)
+    assert waits[-1] == 100.0  # capped
