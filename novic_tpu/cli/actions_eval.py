@@ -804,6 +804,84 @@ _FMT_TYPE_ACTIONS = {
 }
 
 
+def parse_duration_str(duration: str, now) -> Optional[str]:
+    """'1y2w3d4h5m6s'-style ago-duration → ISO timestamp (ref train.py:3283-3296)."""
+    import datetime
+    import re
+
+    if not duration:
+        return None
+    m = re.fullmatch(r"(\d+y)?(\d+w)?(\d+d)?(\d+h)?(\d+m)?(\d+s)?", duration,
+                     flags=re.IGNORECASE)
+    if not m or not any(m.groups()):
+        raise ValueError(f"Invalid duration specification: {duration}")
+    years, weeks, days, hours, minutes, seconds = m.groups()
+    ago = datetime.timedelta(
+        days=(365 * int(years[:-1]) if years else 0)
+        + (7 * int(weeks[:-1]) if weeks else 0) + (int(days[:-1]) if days else 0),
+        hours=int(hours[:-1]) if hours else 0,
+        minutes=int(minutes[:-1]) if minutes else 0,
+        seconds=int(seconds[:-1]) if seconds else 0)
+    return (now - ago).isoformat()
+
+
+def parse_datetime_str(stamp: str) -> Optional[str]:
+    """'YYYYMMDD[_HHMMSS]' run-dir stamp → ISO timestamp (ref train.py:3299-3306)."""
+    import datetime
+
+    if not stamp:
+        return None
+    stamp = str(stamp)  # CLI coercion may deliver 'YYYYMMDD' as an int
+    fmt = "%Y%m%d_%H%M%S" if "_" in stamp else "%Y%m%d"
+    return datetime.datetime.strptime(stamp, fmt).replace(
+        tzinfo=datetime.timezone.utc).isoformat()
+
+
+def build_wandb_filters(cfg, wanted, now) -> dict:
+    """Mongo-style wandb run filters: finished state, action set, created-at
+    windows (relative durations + absolute stamps), host $in/regex filters,
+    and model-path regexes over config.load_model(s) (ref train.py:2942-3046)."""
+    import re
+
+    filters = [{"state": "finished"},
+               {"config.action": {"$in": sorted(wanted)}}]
+    if created_min := parse_duration_str(cfg.get("fmt_max_ago", ""), now):
+        filters.append({"createdAt": {"$gt": created_min}})
+    if created_max := parse_duration_str(cfg.get("fmt_min_ago", ""), now):
+        filters.append({"createdAt": {"$lt": created_max}})
+    if created_min := parse_datetime_str(cfg.get("fmt_min_stamp", "")):
+        filters.append({"createdAt": {"$gt": created_min}})
+    if created_max := parse_datetime_str(cfg.get("fmt_max_stamp", "")):
+        filters.append({"createdAt": {"$lt": created_max}})
+    if fmt_models := set((cfg.get("fmt_models", "") or "").split()):
+        models_regex = r"\b({})\b".format(
+            "|".join(re.escape(m).replace("/", r"\/") for m in sorted(fmt_models)))
+        filters.append({"$or": [{"config.load_model": {"$regex": models_regex}},
+                                {"config.load_models": {"$regex": models_regex}}]})
+    if fmt_hosts := set((cfg.get("fmt_hosts", "") or "").split()):
+        exact = sorted(fmt_hosts)
+        regex_hosts = sorted(h for h in fmt_hosts if not h.isidentifier())
+        host_filters = [{"host": {"$in": exact}}]
+        if regex_hosts:
+            host_filters.append(
+                {"host": {"$regex": "^(({}))$".format(")|(".join(regex_hosts))}})
+        filters.append({"$or": host_filters} if len(host_filters) > 1
+                       else host_filters[0])
+    return {"$and": filters}
+
+
+def scrape_infer_log(text: str) -> list[tuple[str, str, str]]:
+    """Regex-extract past inference predictions from a run's stdout log:
+    '[gencfg] key --> pred' lines (the reference's output.log scraping,
+    ref train.py:3139-3182, adapted to this framework's infer log format)."""
+    import re
+
+    out = []
+    for m in re.finditer(r"\[([^\]\s]+)\] (.+?) --> (.+?)\s*$", text, re.MULTILINE):
+        out.append((m.group(1), m.group(2), m.group(3)))
+    return out
+
+
 def action_format_wandb(cfg):
     """Mine past runs as a results database and tabulate per model.
 
@@ -811,7 +889,9 @@ def action_format_wandb(cfg):
     (ref train.py:2935-3336). Here the primary database is the LOCAL run dirs
     (config.json + metrics.jsonl, written by every eval/eval_cls/
     eval_cls_decoding/infer run); when use_wandb=true and wandb is importable
-    the same rows are pulled from the wandb API instead."""
+    the same rows are pulled from the wandb API with the reference's filter
+    depth (created-at windows, host regexes, model-path regexes) plus
+    output.log scraping of past inference predictions."""
     fmt_type = (cfg.get("fmt_type", "all_v1") or "all_v1").lower()
     try:
         wanted = _FMT_TYPE_ACTIONS[fmt_type]
@@ -822,21 +902,39 @@ def action_format_wandb(cfg):
     rows = []
     if cfg.use_wandb:
         try:
+            import datetime
+
             import wandb
 
             api = wandb.Api()
             path = cfg.wandb_project if not cfg.get("wandb_entity") else \
                 f"{cfg.wandb_entity}/{cfg.wandb_project}"
-            for run in api.runs(path=path, filters={"$and": [
-                    {"state": "finished"}, {"config.action": {"$in": sorted(wanted)}}]}):
+            filters = build_wandb_filters(
+                cfg, wanted, datetime.datetime.now(tz=datetime.timezone.utc))
+            runs = list(api.runs(path=path, filters=filters))
+            log.info(f"Retrieved {len(runs)} possibly relevant wandb runs")
+            for run in runs:
+                action = run.config.get("action")
                 for rec in run.scan_history():
                     model = rec.get("model")
                     if model is None or (fmt_models and model not in fmt_models):
                         continue
-                    rows.append((run.name, run.config.get("action"), model,
+                    rows.append((run.name, action, model,
                                  rec.get("dataset") or rec.get("gencfg") or "-",
                                  {k: v for k, v in rec.items()
                                   if isinstance(v, (int, float)) and not k.startswith("_")}))
+                if action == "infer":
+                    # Past inference predictions live only in the run's stdout
+                    # log — scrape them (ref train.py:3139-3182)
+                    try:
+                        text = run.file("output.log").download(
+                            replace=True, exist_ok=True).read()
+                        for gencfg, key, pred in scrape_infer_log(text):
+                            rows.append((run.name, "infer",
+                                         run.config.get("load_model", "-"),
+                                         f"{gencfg} {key}", {"pred": pred}))
+                    except Exception as e:  # noqa: BLE001 — log download is best-effort
+                        log.warning(f"Could not scrape output.log of {run.name}: {e}")
         except ImportError:
             log.warning("use_wandb=true but wandb is not installed => mining local run dirs")
         except Exception as e:  # API/auth/network failures degrade to local mining
@@ -875,7 +973,8 @@ def action_format_wandb(cfg):
         return []
     metric_keys = sorted({k for *_, m in rows for k in m})
     table = [(run, action, model, ds,
-              *(f"{m[k]:.4g}" if k in m else "-" for k in metric_keys))
+              *((f"{m[k]:.4g}" if isinstance(m[k], (int, float)) else str(m[k]))
+                if k in m else "-" for k in metric_keys))
              for run, action, model, ds, m in rows]
     log.info(f"Results database ({fmt_type}): {len(rows)} rows")
     _print_table(("Run", "Action", "Model", "Dataset/GenCfg", *metric_keys), table)

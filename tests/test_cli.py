@@ -293,3 +293,82 @@ def test_cli_fix_checkpoints_reference_torch(workdir, tmp_path):
     assert "dog" in fixed_ckpt["target_nouns"]
     # Second pass: nothing left to fix
     assert main(["action=fix_checkpoints"] + args) == 0
+
+
+def test_cli_format_wandb_api_arm(workdir, monkeypatch):
+    """format_wandb's wandb-API arm: Mongo-style filters (created-at windows,
+    host + model-path regexes), scan_history mining, and output.log scraping
+    of past inference predictions — against a mocked wandb module
+    (ref train.py:2935-3336)."""
+    import sys
+    import types
+
+    captured = {}
+
+    class _Run:
+        def __init__(self, name, action, history, log_text=""):
+            self.name = name
+            self.config = {"action": action, "load_model": "ovod_x/ck.npz"}
+            self._history = history
+            self._log = log_text
+
+        def scan_history(self):
+            return iter(self._history)
+
+        def file(self, name):
+            run = self
+
+            class F:
+                def download(self, replace=True, exist_ok=True):
+                    import io
+
+                    return io.StringIO(run._log)
+            return F()
+
+    class _Api:
+        def runs(self, path, filters):
+            captured["path"] = path
+            captured["filters"] = filters
+            return [
+                _Run("run-eval", "eval",
+                     [{"model": "m1", "dataset": "d", "loss": 1.5, "_step": 0}]),
+                _Run("run-infer", "infer", [],
+                     log_text="[beam_k2_vnone_gn_t1_a0] img.jpg --> dog\n"),
+            ]
+
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.Api = _Api
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    rows = main(["action=format_wandb", "fmt_type=all_v1", "use_wandb=true",
+                 "wandb_entity=team", "fmt_max_ago=3d", "fmt_min_stamp=20240101",
+                 "fmt_hosts=tpu-.* hostA", "fmt_models=m1"]
+                + common_args(workdir))
+
+    assert captured["path"] == "team/novic_tpu"
+    ands = captured["filters"]["$and"]
+    assert {"state": "finished"} in ands
+    assert any("createdAt" in f and "$gt" in f["createdAt"] for f in ands)
+    texts = str(ands)
+    assert "tpu-.*" in texts and "hostA" in texts  # host filters
+    assert "$regex" in texts and "m1" in texts     # model-path regex
+    # eval history row mined + infer output.log scraped
+    assert any(r[0] == "run-eval" and r[2] == "m1" for r in rows)
+    scraped = [r for r in rows if r[0] == "run-infer"]
+    assert scraped and scraped[0][3] == "beam_k2_vnone_gn_t1_a0 img.jpg"
+    assert scraped[0][4]["pred"] == "dog"
+
+
+def test_parse_duration_and_stamp():
+    import datetime
+
+    from novic_tpu.cli.actions_eval import parse_datetime_str, parse_duration_str
+
+    now = datetime.datetime(2026, 8, 16, tzinfo=datetime.timezone.utc)
+    assert parse_duration_str("", now) is None
+    assert parse_duration_str("1d", now) == "2026-08-15T00:00:00+00:00"
+    assert parse_duration_str("1w2d3h", now).startswith("2026-08-06T21:00")
+    with pytest.raises(ValueError):
+        parse_duration_str("nonsense", now)
+    assert parse_datetime_str("20260101") == "2026-01-01T00:00:00+00:00"
+    assert parse_datetime_str("20260101_120000") == "2026-01-01T12:00:00+00:00"
