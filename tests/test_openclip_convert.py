@@ -143,3 +143,36 @@ def test_openclip_siglip_vision_structure():
     out = jax.jit(lambda p, x: vm.apply({"params": p}, x))(
         v_params, np.random.default_rng(3).normal(size=(2, S, S, 3)).astype(np.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_registry_local_hf_dir(tmp_path):
+    """'transformers:<local_dir>' specs derive an EmbedderArch from the HF
+    config.json (zero-egress path for any on-disk CLIP checkpoint)."""
+    import json
+
+    from novic_tpu.embedders.registry import lookup
+
+    cfg = {
+        "model_type": "clip",
+        "projection_dim": 64,
+        "vision_config": {"hidden_size": 96, "num_hidden_layers": 3,
+                          "num_attention_heads": 4, "intermediate_size": 384,
+                          "image_size": 112, "patch_size": 16,
+                          "hidden_act": "quick_gelu"},
+        "text_config": {"hidden_size": 64, "num_hidden_layers": 2,
+                        "num_attention_heads": 2, "intermediate_size": 256,
+                        "vocab_size": 1000, "max_position_embeddings": 77,
+                        "hidden_act": "quick_gelu"},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    arch = lookup(f"transformers:{tmp_path}")
+    assert arch.vision.width == 96 and arch.vision.layers == 3
+    assert arch.vision.image_size == 112 and arch.vision.embed_dim == 64
+    assert arch.text.vocab_size == 1000 and arch.text.causal
+    assert arch.vision.mlp_ratio == 4.0
+    assert arch.family == "clip" and arch.tokenizer == "clip_bpe"
+    # unknown specs still raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unknown embedder spec"):
+        lookup("transformers:/nonexistent/dir")
