@@ -372,3 +372,41 @@ def test_parse_duration_and_stamp():
         parse_duration_str("nonsense", now)
     assert parse_datetime_str("20260101") == "2026-01-01T00:00:00+00:00"
     assert parse_datetime_str("20260101_120000") == "2026-01-01T12:00:00+00:00"
+
+
+def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root, tmp_path):
+    """The shipped data tables drive the released recipe: cache_noun_multiset
+    with prompt_collection='ImageNet1K | CIFAR' uses the released 85-singular/
+    68-plural templates (ref data/prompts.json, noun_dataset.py:148-254), and
+    eval_cls runs with class_names_variant=multi/guide resolving the shipped
+    cls_class_names_{multi,guide}.json tables."""
+    args = [a for a in common_args(workdir) if not a.startswith("prompt_path=")
+            and not a.startswith("prompt_collection=")
+            and not a.startswith("hypernym_collection=")]
+    cache = f"{tmp_path}/multiset.bin"
+    main(["action=cache_noun_multiset", f"save_embedding_cache={cache}",
+          "prompt_collection=ImageNet1K | CIFAR", "hypernym_collection=None",
+          "multi_target_freq=[1,1]"] + args)
+    assert os.path.exists(cache)
+
+    from novic_tpu.cli.common import load_embedder, load_noun_dataset
+    from novic_tpu.utils.config import load_config
+
+    cfg = load_config(overrides=["action=train", "embedder=test:32",
+                                 f"vocab_path={workdir}/vocab.json",
+                                 "prompt_collection=ImageNet1K | CIFAR"])
+    ds = load_noun_dataset(cfg, load_embedder(cfg), use_cache=False)
+    assert len(ds.singular_prompts) == 85 and len(ds.plural_prompts) == 68
+
+    # eval_cls with variant=multi and variant=guide on MNIST (digit vocab)
+    cls_args = ["cls_dataset=MNIST", f"cls_dataset_root={mnist_root}",
+                "cls_split=valid", "batch_size_image=8"]
+    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    for variant in ("multi", "guide"):
+        res = main(["action=eval_cls", f"load_model={ckpts[-1]}",
+                    f"class_names_variant={variant}"]
+                   + cls_args + model_args + common_args(workdir))
+        (path, r), = list(res.items())
+        assert r["total"] == 16
