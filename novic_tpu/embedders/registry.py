@@ -32,10 +32,11 @@ class EmbedderArch:
 
 
 def _clip(image_size, patch, v_width, v_layers, v_heads, t_width, t_layers, t_heads,
-          embed_dim, act="quick_gelu", vocab=49408, context=77):
+          embed_dim, act="quick_gelu", vocab=49408, context=77, v_mlp_ratio=4.0):
     return EmbedderArch(
         vision=VisionTowerConfig(image_size=image_size, patch_size=patch, width=v_width,
                                  layers=v_layers, heads=v_heads, embed_dim=embed_dim, act=act,
+                                 mlp_ratio=v_mlp_ratio,
                                  use_class_token=True, patch_bias=False, pre_ln=True, pool="cls"),
         text=TextTowerConfig(context_length=context, vocab_size=vocab, width=t_width,
                              layers=t_layers, heads=t_heads, embed_dim=embed_dim, act=act,
@@ -82,10 +83,31 @@ REGISTRY: dict[str, EmbedderArch] = {
     # DFN5B CLIP-H (agreement-target backbone, ref README.md:299-300)
     "openclip:apple/DFN5B-CLIP-ViT-H-14": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
     "openclip:apple/DFN5B-CLIP-ViT-H-14-378": _clip(378, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
-    # LAION H-14 via transformers backend (ref config/train.yaml examples)
+    # LAION / DataComp OpenCLIP family (gelu activations; ref
+    # config/train.yaml:103-138 supported-spec table — curated * rows)
+    "openclip:apple/DFN2B-CLIP-ViT-L-14": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768, act="gelu"),
+    "openclip:laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768, act="gelu"),
+    "transformers:laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768, act="gelu"),
+    "openclip:laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K": _clip(224, 16, 768, 12, 12, 512, 12, 8, 512, act="gelu"),
+    "openclip:laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512, act="gelu"),
+    "openclip:laion/CLIP-ViT-B-32-256x256-DataComp-s34B-b86K": _clip(256, 32, 768, 12, 12, 512, 12, 8, 512, act="gelu"),
+    "openclip:laion/CLIP-ViT-B-32-laion2B-s34B-b79K": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512, act="gelu"),
+    "transformers:laion/CLIP-ViT-B-32-laion2B-s34B-b79K": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512, act="gelu"),
+    "openclip:laion/CLIP-ViT-H-14-laion2B-s32B-b79K": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
     "transformers:laion/CLIP-ViT-H-14-laion2B-s32B-b79K": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024, act="gelu"),
+    "openclip:laion/CLIP-ViT-g-14-laion2B-s34B-b88K": _clip(224, 14, 1408, 40, 16, 1024, 24, 16, 1024, act="gelu", v_mlp_ratio=6144 / 1408),
+    "openclip:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k": _clip(224, 14, 1664, 48, 16, 1280, 32, 20, 1280, act="gelu", v_mlp_ratio=8192 / 1664),
+    "transformers:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k": _clip(224, 14, 1664, 48, 16, 1280, 32, 20, 1280, act="gelu", v_mlp_ratio=8192 / 1664),
+    # MetaCLIP (quick_gelu; tokenizer quirk handled as in ref embedders.py:800)
+    "transformers:facebook/metaclip-h14-fullcc2.5b": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024),
+    # OpenAI CLIP via the transformers backend
     "transformers:openai/clip-vit-base-patch32": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512),
+    "transformers:openai/clip-vit-base-patch16": _clip(224, 16, 768, 12, 12, 512, 12, 8, 512),
     "transformers:openai/clip-vit-large-patch14": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768),
+    # NOT registered (materially different block structures — would need their
+    # own tower code, not a config): EVA02 (rotary pos + SwiGLU), CLIPA
+    # (rwightman/*-CLIPA-*), ALIGN (EfficientNet+BERT). lookup() rejects them
+    # loudly rather than building a silently-wrong tower.
 }
 
 

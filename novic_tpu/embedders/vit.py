@@ -68,7 +68,9 @@ class VisionTowerConfig:
 
     @property
     def grid(self) -> int:
-        assert self.image_size % self.patch_size == 0
+        # Floor, matching strided-conv patch embedding: e.g. SO400M-14@384
+        # covers 27x27 patches = 378 px, dropping the trailing 6 px exactly
+        # like the HF/torch Conv2d(stride=patch) does.
         return self.image_size // self.patch_size
 
     @property
@@ -264,6 +266,10 @@ class VisionTransformer(nn.Module):
         patch_w = self.param("patch_weight", nn.initializers.normal(stddev=E ** -0.5),
                              (E, P * P * 3))
         patch_b = self.param("patch_bias", nn.initializers.zeros, (E,)) if cfg.patch_bias else None
+        if cfg.image_size != G * P:
+            # Conv-floor semantics: a strided conv drops trailing pixels when
+            # image_size is not a patch multiple (e.g. SO400M-14@384 -> 378)
+            images = images[:, :G * P, :G * P]
         x = images.reshape(B, G, P, G, P, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, G * G, P * P * 3)
         x = tower_dense(x, patch_w, patch_b, cfg.compute_dtype)  # (B, N, E)
