@@ -1,0 +1,152 @@
+"""Round-2 end-to-end soak: the RELEASED training recipe shape on chip.
+
+Round 1's soak used a basic prompt set; this one runs the released recipe
+structure through the public CLI (SURVEY §2.5, ref README:315-368):
+  multiset cache multi_target_freq=[1,1,1] (M1+M2+M3) with the shipped
+  prompts.json ImageNet1K|CIFAR collections (85 singular / 68 plural)
+  + a frequency-expanded singles cache, shuffle-merged 1:1,
+  trained with the released noise (GaussElemUniformAngle 3.25, 45-75deg,
+  mix 0.15) and decoder hyperparams (hidden 512, 6L, 8H, P=4) at effective
+  batch 8192, then served through NOVICModel beam-k10 on held-out
+  noise-perturbed embeddings (the modality-gap proxy the noise models).
+
+Hash embedder (F=768) — no released tower weights exist in this env; the
+soak validates the data/train/serve circuit at production shapes, not
+CLIP semantics (AGREEMENT_r02.md covers those).
+
+Usage: python exp/soak_r02.py [--chunks N] [--workdir D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MODIFIERS = """red blue green golden silver wooden stone glass paper steel
+mountain river sea desert forest garden winter summer night morning royal
+wild tiny giant ancient modern electric solar spotted striped curly fluffy
+""".split()
+
+BASE = """dog cat horse fox wolf bear lion tiger owl hawk swan crab whale
+apple cherry melon mango carrot pepper bread cake pie soup cheese bottle cup
+plate spoon kettle lamp clock camera drum flute wagon sled boat kite wheel
+tower bridge castle cabin tent hammer ladder bucket rope lock bell ball net
+river valley island cliff meadow blossom pebble lantern compass saddle
+""".split()
+
+
+def make_vocab(n: int) -> list[dict]:
+    entries = []
+    i = 0
+    for mod in MODIFIERS:
+        for base in BASE:
+            if i >= n:
+                return entries
+            noun = f"{mod} {base}"
+            entries.append({
+                "id": i, "target_noun": noun, "pretty_noun": noun.title(),
+                "singulars": [noun], "plurals": [f"{mod} {base}s"],
+                "singulars_freq": [1], "plurals_freq": [1],
+                "hypernyms": [i - (i % len(BASE))] if i % len(BASE) else [],
+            })
+            i += 1
+    return entries
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--chunks", type=int, default=400)
+    p.add_argument("--workdir", default="/tmp/soak_r02")
+    args = p.parse_args()
+    W = args.workdir
+    os.makedirs(W, exist_ok=True)
+
+    from novic_tpu.cli.train import main as cli
+
+    vocab = make_vocab(600)
+    vocab_path = os.path.join(W, "vocab.json")
+    with open(vocab_path, "w") as f:
+        json.dump(vocab, f)
+    print(f"[soak] vocab: {len(vocab)} nouns", flush=True)
+
+    common = ["embedder=test:768", f"vocab_path={vocab_path}",
+              "prompt_collection=ImageNet1K | CIFAR", "seed=2",
+              f"output_dir={W}/outputs", "batch_size_embed=4096"]
+
+    multiset = os.path.join(W, "multiset.bin")
+    singles = os.path.join(W, "singles.bin")
+    merged = os.path.join(W, "merged.bin")
+    t0 = time.perf_counter()
+    if not os.path.exists(merged):
+        cli(["action=cache_noun_multiset", f"save_embedding_cache={multiset}",
+             "multi_target_freq=[1,1,1]", "hypernym_collection=None"] + common)
+        cli(["action=convert_noun_dataset", f"save_embedding_cache={singles}",
+             "hypernym_collection=Type"] + common)
+        cli(["action=merge_caches", f"save_embedding_cache={merged}",
+             f"embedding_datasets=[{multiset}, {singles}]", "merge_freqs=[1, 1]"]
+            + common)
+    print(f"[soak] caches built in {time.perf_counter() - t0:.0f}s: "
+          f"{os.path.getsize(merged) / 1e6:.0f} MB merged", flush=True)
+
+    # Released decoder + noise hyperparams (config/train.yaml:249-308,
+    # README:322), accum to effective batch 8192
+    model_args = ["hidden_dim=512", "num_layers=6", "num_heads=8",
+                  "mlp_seq_len=4", "feedfwd_scale=1/4",
+                  "batch_size=1024", "accum_factor=8",
+                  "noise_scheme=GaussElemUniformAngle", "noise_vec_norm=3.25",
+                  "noise_angle_min=45", "noise_angle_max=75",
+                  "noise_mix_ratio=0.15"]
+    t0 = time.perf_counter()
+    state, S, ewa = cli(["action=train", f"embedding_dataset={merged}",
+                         f"max_chunks={args.chunks}", "chunk_scale=2",
+                         "init_lr=1.5e-3", "lr_warmup=20",
+                         "save_every_max=100", "save_top1_min=200"]
+                        + model_args + common)
+    train_time = time.perf_counter() - t0
+    print(f"[soak] trained {S.chunk_id - 1} chunks in {train_time / 60:.1f} min: "
+          f"loss {ewa.loss:.3e}, top1 {ewa.top1:.2%}", flush=True)
+
+    ckpts = sorted(glob.glob(f"{W}/outputs/ovod_*/*.npz"))
+    print(f"[soak] checkpoint: {ckpts[-1]}", flush=True)
+
+    # Held-out serving: noise-perturbed text embeddings through NOVICModel
+    # beam-k10 (the modality-gap crossing the noise trains for)
+    import jax
+
+    from novic_tpu.infer import NOVICModel
+
+    model = NOVICModel(ckpts[-1], gencfg="beam_k10_vnone_gn_t1_a0",
+                       batch_size=512)
+    rng = np.random.default_rng(9)
+    idx = rng.choice(len(vocab), size=min(512, len(vocab)), replace=False)
+    nouns = [vocab[i]["target_noun"] for i in idx]
+    with model:
+        emb = model.embedder
+        # The hash embedder maps distinct strings to unrelated embeddings, so
+        # the held-out probe must use a TRAINING template ("a photo of my
+        # {noun}" is in the ImageNet1K collection) — generalization here is
+        # across the noise ball, i.e. the modality gap the noise models.
+        text_embeds = emb.inference_text([f"a photo of my {n}" for n in nouns])
+        noise = rng.normal(size=text_embeds.shape).astype(np.float32)
+        noise *= 1.0 / np.sqrt(text_embeds.shape[1])
+        noisy = text_embeds + 0.58 * noise  # ~30 deg rotation, inside the trained 45-75 deg band
+        noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+        out = model.classify_embeds(noisy)
+    top1 = sum(p[0] == n for p, n in zip(out.preds, nouns)) / len(nouns)
+    top5 = sum(n in p[:5] for p, n in zip(out.preds, nouns)) / len(nouns)
+    print(f"[soak] held-out noisy-embed serving over {len(vocab)} classes: "
+          f"top-1 {top1:.2%}, top-5 {top5:.2%} (chance {1 / len(vocab):.3%})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,27 @@ class GradAccum:
             f"{self.accum_batch_size}+{self.incomplete_samples}")
 
     def loader(self) -> Iterable:
+        """Re-iterable epoch loader. MUST survive multiple `for` passes: the
+        training loop iterates it once per epoch, and a one-shot iterator here
+        (a bare islice was the round-2 soak hang: epoch 2 yielded zero batches
+        and the loop spun forever) silently ends training at the first epoch
+        whose batch count isn't an accumulation multiple."""
         self.batch_num = 0
-        if self.drop_last and self.loader_batches < self.raw_loader_info.epoch_batches:
-            import itertools
+        ga = self
 
-            return itertools.islice(self.raw_loader, self.loader_batches)
-        return self.raw_loader
+        class _EpochLoader:
+            def __iter__(self):
+                ga.batch_num = 0
+                if ga.drop_last and ga.loader_batches < ga.raw_loader_info.epoch_batches:
+                    import itertools
+
+                    return iter(itertools.islice(ga.raw_loader, ga.loader_batches))
+                return iter(ga.raw_loader)
+
+            def __len__(self):
+                return ga.loader_batches
+
+        return _EpochLoader()
 
     def accum_loss(self, mean_batch_loss, num_in_batch: int):
         """Scale the mean batch loss for accumulation; returns (scaled_loss, do_optimizer_step)."""

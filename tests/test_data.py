@@ -328,3 +328,23 @@ def test_native_scatter_speed(tmp_path):
     t_python = build(str(tmp_path / "slow.bin"), True)
     # Not a strict benchmark (1-core box) but native should never be slower
     assert t_native <= t_python * 1.5, f"native {t_native:.3f}s vs python {t_python:.3f}s"
+
+
+def test_grad_accum_loader_reiterable(tt, tmp_path):
+    """GradAccum.loader() must survive multiple epoch passes even when
+    drop_last truncates (a one-shot islice hung training at epoch 2 in the
+    round-2 soak: the second pass yielded zero batches)."""
+    path = str(tmp_path / "reiter.bin")
+    write_target_cache(path, tt, n=50, m=1)
+    cache = EmbeddingCache(path, CacheExpectation(embed_dim=F, embed_dtype=np.float32))
+    with cache:
+        ds = cache.create_dataset(batch_size=10, training=True)
+        ds.configure_data(ds.resolve_data_config(use_weights=False, multi_target=False))
+        loader, info = ds.create_loader(batch_size=10, training=True, seed=3)
+        # accum 3 over 5 complete batches -> drop_last truncates to 3 batches
+        ga = GradAccum(loader, info, accum_size=3, drop_last=True)
+        assert ga.loader_batches == 3 < info.epoch_batches
+        epoch_loader = ga.loader()
+        for _epoch in range(3):
+            batches = list(epoch_loader)
+            assert len(batches) == 3, "epoch loader must re-iterate every epoch"
