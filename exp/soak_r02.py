@@ -102,8 +102,13 @@ def main() -> None:
     model_args = ["hidden_dim=512", "num_layers=6", "num_heads=8",
                   "mlp_seq_len=4", "feedfwd_scale=1/4",
                   "batch_size=1024", "accum_factor=8",
-                  "noise_scheme=GaussElemUniformAngle", "noise_vec_norm=3.25",
-                  "noise_angle_min=45", "noise_angle_max=75",
+                  # Released SCHEME; magnitudes scaled to the hash-embedder
+                  # regime (released 3.25/45-75deg assumes CLIP's structured
+                  # space where a class's templates cluster — hash embeddings
+                  # are mutually orthogonal, so the learnable noise ball is
+                  # smaller; round 1 measured the same effect)
+                  "noise_scheme=GaussElemUniformAngle", "noise_vec_norm=0.5",
+                  "noise_angle_min=10", "noise_angle_max=30",
                   "noise_mix_ratio=0.15"]
     t0 = time.perf_counter()
     state, S, ewa = cli(["action=train", f"embedding_dataset={merged}",
@@ -133,12 +138,13 @@ def main() -> None:
         emb = model.embedder
         # The hash embedder maps distinct strings to unrelated embeddings, so
         # the held-out probe must use a TRAINING template ("a photo of my
-        # {noun}" is in the ImageNet1K collection) — generalization here is
+        # {noun}." — WITH the trailing period — is in the ImageNet1K
+        # collection) — generalization here is
         # across the noise ball, i.e. the modality gap the noise models.
-        text_embeds = emb.inference_text([f"a photo of my {n}" for n in nouns])
+        text_embeds = emb.inference_text([f"a photo of my {n}." for n in nouns])
         noise = rng.normal(size=text_embeds.shape).astype(np.float32)
         noise *= 1.0 / np.sqrt(text_embeds.shape[1])
-        noisy = text_embeds + 0.58 * noise  # ~30 deg rotation, inside the trained 45-75 deg band
+        noisy = text_embeds + 0.25 * noise  # ~14 deg rotation, inside the trained 10-30 deg band
         noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
         out = model.classify_embeds(noisy)
     top1 = sum(p[0] == n for p, n in zip(out.preds, nouns)) / len(nouns)

@@ -55,6 +55,24 @@ def load_embedder(cfg, load_model: bool = False) -> Embedder:
             bpe_merges_path=resolve_path(cfg, cfg.bpe_merges_path) if cfg.bpe_merges_path else None,
             compute_dtype=cfg.embedder_compute_dtype,
         )
+    elif cfg.get("vocab_path"):
+        # Give the test embedder a WORD-level tokenizer covering the noun
+        # vocabulary: with the default empty word vocab, multi-word nouns fall
+        # back to per-character targets — an artificially long/hard decode
+        # task that round-2's soak surfaced (600 two-word nouns became
+        # 8-14-char sequences over a 25-token vocab).
+        import json as _json
+
+        from novic_tpu.text.simple import make_test_tokenizer
+
+        try:
+            with open(resolve_path(cfg, cfg.vocab_path)) as f:
+                vocab_json = _json.load(f)
+            variants = [v for e in vocab_json
+                        for v in (e.get("singulars", []) + e.get("plurals", []))]
+            kwargs["tokenizer"] = make_test_tokenizer(variants)
+        except (OSError, ValueError, KeyError, TypeError) as e:
+            log.warning(f"Could not build test tokenizer from vocab_path: {e}")
     return Embedder.create(cfg.embedder, **kwargs)
 
 

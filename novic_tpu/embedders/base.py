@@ -59,7 +59,8 @@ class Embedder:
             return HashEmbedder(spec=spec, embed_dim=int(name),
                                 tokenizer_batch_size=tokenizer_batch_size,
                                 inference_batch_size=inference_batch_size,
-                                image_batch_size=image_batch_size, check=check)
+                                image_batch_size=image_batch_size, check=check,
+                                tokenizer=tokenizer)
         if kind not in ("openai", "openclip", "transformers"):
             raise ValueError(f"Unsupported embedder type: {kind}")
         return JaxEmbedder(spec=spec, arch=lookup(spec),
@@ -419,8 +420,12 @@ class HashEmbedder(Embedder):
     photo fake cache writers for pipeline tests (ref embedding_cache_writers.py:23-103)."""
 
     def __init__(self, *, spec: str, embed_dim: int, tokenizer_batch_size: int,
-                 inference_batch_size: int, image_batch_size: int, check: bool):
-        tok = SimpleWordTokenizer(words=(), context_length=77)
+                 inference_batch_size: int, image_batch_size: int, check: bool,
+                 tokenizer=None):
+        # Default word vocab is empty -> per-character fallback; callers with
+        # a known noun vocabulary should pass a word-level tokenizer
+        # (make_test_tokenizer) or multi-word nouns become long char targets
+        tok = tokenizer if tokenizer is not None else             SimpleWordTokenizer(words=(), context_length=77)
         super().__init__(spec=spec, configuration={"spec": spec, "embed_dim": embed_dim},
                          tokenizer=tok, embed_dim=embed_dim,
                          tokenizer_batch_size=tokenizer_batch_size,
