@@ -491,11 +491,13 @@ def export_reference_model(our_ckpt: str) -> str:
 # Phase: labels
 # ---------------------------------------------------------------------------
 
-def phase_labels(model_path: str) -> dict:
+def phase_labels(model_path: str, gencfg: str = GENCFG,
+                 result_name: str = "result_labels.json") -> dict:
     images_json = os.path.join(WORK, "images.json")
-    ref_out = os.path.join(WORK, "ref_labels.json")
+    tag = gencfg.replace("/", "_")
+    ref_out = os.path.join(WORK, f"ref_labels_{tag}.json")
     run_ref(["labels", "--checkpoint", model_path, "--images-json", images_json,
-             "--gencfg", GENCFG, "--out", ref_out])
+             "--gencfg", gencfg, "--out", ref_out])
 
     sys.path.insert(0, REPO)
     from novic_tpu.infer import NOVICModel
@@ -504,7 +506,7 @@ def phase_labels(model_path: str) -> dict:
 
     with open(images_json) as f:
         paths = json.load(f)
-    model = NOVICModel(model_path, gencfg=GENCFG, batch_size=16,
+    model = NOVICModel(model_path, gencfg=gencfg, batch_size=16,
                        embedder_kwargs=dict(
                            weights_path=os.path.join(WORK, "towers.npz"),
                            bpe_merges_path=os.path.join(WORK, "merges.txt"),
@@ -521,13 +523,13 @@ def phase_labels(model_path: str) -> dict:
                    for o, r in zip(ours.preds, ref["preds"]))
     diffs = [{"image": os.path.basename(p), "ours": o[:3], "ref": r[:3]}
              for p, o, r in zip(paths, ours.preds, ref["preds"]) if o[0] != r[0]]
-    result = {"gencfg": GENCFG, "images": n, "top1_agree": top1,
+    result = {"gencfg": gencfg, "images": n, "top1_agree": top1,
               "top1_pct": 100.0 * top1 / n, "top3_overlap": top3_any,
               "diffs": diffs,
               "ours_preds": ours.preds, "ref_preds": ref["preds"]}
-    log(f"LABEL AGREEMENT: top-1 {top1}/{n} = {result['top1_pct']:.2f}% "
+    log(f"LABEL AGREEMENT [{gencfg}]: top-1 {top1}/{n} = {result['top1_pct']:.2f}% "
         f"(gate: >=95%)")
-    with open(os.path.join(WORK, "result_labels.json"), "w") as f:
+    with open(os.path.join(WORK, result_name), "w") as f:
         json.dump(result, f, indent=1)
     return result
 
@@ -590,11 +592,17 @@ def write_report() -> None:
             "",
             f"- Images: {labels['images']} (16 reference demo photos x 6 deterministic"
             " photographic variants)",
-            f"- **Top-1 agreement: {labels['top1_agree']}/{labels['images']} = "
+            f"- **Top-1 agreement (beam k10, product default): {labels['top1_agree']}/{labels['images']} = "
             f"{labels['top1_pct']:.2f}%** (gate: >=95%)",
             f"- Top-3 overlap (any shared prediction): {labels['top3_overlap']}/{labels['images']}",
-            "",
         ]
+        for name, title in (("result_labels_greedy.json", "greedy k1"),
+                            ("result_labels_all.json", "exhaustive 'all' scorer")):
+            extra = load(name)
+            if extra:
+                lines += [f"- Top-1 agreement ({title}, gencfg `{extra['gencfg']}`): "
+                          f"{extra['top1_agree']}/{extra['images']} = {extra['top1_pct']:.2f}%"]
+        lines += [""]
         if labels["diffs"]:
             lines += ["Disagreements:", ""]
             for d in labels["diffs"][:20]:
@@ -636,6 +644,16 @@ def main() -> None:
         if model_path is None:
             model_path = os.path.join(WORK, "agreement.model")
         phase_labels(model_path)
+    if "labels_extra" in phases:
+        # Decode-method coverage beyond the product default: greedy and the
+        # exhaustive generate_all scorer (gencfg method=all), each vs the
+        # reference's own implementations
+        if model_path is None:
+            model_path = os.path.join(WORK, "agreement.model")
+        phase_labels(model_path, gencfg="greedy_k1_vnone_gp_t1_a0",
+                     result_name="result_labels_greedy.json")
+        phase_labels(model_path, gencfg="all_k5_vnone_gp_t1_a0",
+                     result_name="result_labels_all.json")
     if "report" in phases:
         write_report()
 
