@@ -68,9 +68,12 @@ def load_embedder(cfg, load_model: bool = False) -> Embedder:
         try:
             with open(resolve_path(cfg, cfg.vocab_path)) as f:
                 vocab_json = _json.load(f)
-            variants = [v for e in vocab_json
-                        for v in (e.get("singulars", []) + e.get("plurals", []))]
-            kwargs["tokenizer"] = make_test_tokenizer(variants)
+            # Target NOUNS only (not plural/singular text variants): targets
+            # are always target_noun strings, and serving rebuilds the same
+            # tokenizer from the checkpoint's target_nouns — the word lists
+            # must produce identical id numbering on both sides.
+            nouns = [e["target_noun"] for e in vocab_json]
+            kwargs["tokenizer"] = make_test_tokenizer(nouns)
         except (OSError, ValueError, KeyError, TypeError) as e:
             log.warning(f"Could not build test tokenizer from vocab_path: {e}")
     return Embedder.create(cfg.embedder, **kwargs)

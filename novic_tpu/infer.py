@@ -426,6 +426,14 @@ def load_decoder_from_checkpoint(checkpoint_path: str, embedder: Embedder,
     target_nouns = ckpt["target_nouns"]
     num_invalid = ckpt["num_invalid_target_nouns"]
     valid_nouns = target_nouns[num_invalid:]
+    if embedder.spec.startswith("test:"):
+        # The test embedder's word tokenizer must cover the checkpoint's noun
+        # vocabulary (real backends get this from their tokenizer assets);
+        # otherwise multi-word nouns fall back to char tokens and cannot match
+        # the checkpoint's target config.
+        from novic_tpu.text.simple import make_test_tokenizer
+
+        embedder.tokenizer = make_test_tokenizer(valid_nouns)
     embedder.configure_target(target_config, valid_nouns)
 
     cfg: DecoderModelConfig = ckpt["model_config"]
