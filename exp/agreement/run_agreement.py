@@ -24,6 +24,7 @@ Phases (in dependency order):
   train  — train a decoder on our stack from text embeddings of the shared
            embedder (so labels are confident, not argmax-on-noise)
   labels — run reference NOVICModel + our NOVICModel on the images, compare
+  labels_extra — same comparison for greedy and the exhaustive 'all' scorer
 
 Usage: python exp/agreement/run_agreement.py [--phases assets,tokens,...]
 Writes AGREEMENT_r02.md at the repo root when the labels phase completes.

@@ -1,4 +1,6 @@
-"""Beam cost bisection: full vs no-cache-gather vs no-topk (timing-only hacks)."""
+"""Beam cost bisection (ROUND-1 ARCHIVE — string-patches target the round-1
+generate.py and no longer apply; use exp/beam_bisect2.py, which bisects the
+current source). Kept for the measurement history in BENCH_NOTES."""
 import os
 import time
 

@@ -427,13 +427,25 @@ def load_decoder_from_checkpoint(checkpoint_path: str, embedder: Embedder,
     num_invalid = ckpt["num_invalid_target_nouns"]
     valid_nouns = target_nouns[num_invalid:]
     if embedder.spec.startswith("test:"):
-        # The test embedder's word tokenizer must cover the checkpoint's noun
-        # vocabulary (real backends get this from their tokenizer assets);
-        # otherwise multi-word nouns fall back to char tokens and cannot match
-        # the checkpoint's target config.
-        from novic_tpu.text.simple import make_test_tokenizer
+        # The test embedder's tokenizer must be the one the checkpoint was
+        # trained with (real backends get this from their tokenizer assets).
+        # The compact maps pin the tokenizer vocab size: keep the current
+        # tokenizer if it matches, else rebuild the word-level tokenizer from
+        # the checkpoint's own target nouns (the CLI's construction).
+        expected = (len(target_config.compact_map)
+                    if target_config.compact_map is not None else None)
+        if expected is not None and embedder.tokenizer.vocab_size != expected:
+            from novic_tpu.text.simple import make_test_tokenizer
 
-        embedder.tokenizer = make_test_tokenizer(valid_nouns)
+            word_tok = make_test_tokenizer(valid_nouns)
+            if word_tok.vocab_size == expected:
+                embedder.tokenizer = word_tok
+            else:
+                log.warning(
+                    f"Test-embedder tokenizer vocab ({embedder.tokenizer.vocab_size}) "
+                    f"does not match the checkpoint's compact map ({expected}) and "
+                    f"cannot be reconstructed from its target nouns "
+                    f"({word_tok.vocab_size})")
     embedder.configure_target(target_config, valid_nouns)
 
     cfg: DecoderModelConfig = ckpt["model_config"]
