@@ -13,6 +13,7 @@ import dataclasses
 import json
 import re
 import signal
+import time
 import typing
 import unicodedata
 from typing import IO, Any
@@ -231,4 +232,82 @@ class DelayKeyboardInterrupt:
             old_handler = self._old_handler
             if callable(old_handler):
                 old_handler(*self._received)
+        return False
+
+
+def set_determinism(seed: int) -> None:
+    """Seed every host-side RNG (ref utils.py:126-147 set_determinism).
+
+    JAX device computation is deterministic by construction (explicit PRNG
+    keys, no cudnn-style nondeterministic kernels to disable); what remains
+    is the host side: python random (epoch offsets, writer shuffles fall back
+    to it) and numpy's legacy global state. Functions taking an explicit
+    seed/rng stay unaffected, as in the reference.
+    """
+    import random as _random
+
+    import numpy as _np
+
+    _random.seed(seed)
+    _np.random.seed(seed % (2 ** 32))
+
+
+def nan_check(tree, name: str = "tree") -> None:
+    """Assert every array leaf of a pytree is finite (the reference's NaN
+    forward/backward debugging hooks, ref utils.py:201-233, recast for JAX:
+    call on params/grads/metrics after materialization; for in-jit tracing
+    use jax.config.update('jax_debug_nans', True) instead)."""
+    import jax as _jax
+    import numpy as _np
+
+    bad = []
+    for path, leaf in _jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = _np.asarray(leaf)
+        if arr.dtype.kind == "f" and not _np.isfinite(arr).all():
+            bad.append(_jax.tree_util.keystr(path))
+    if bad:
+        raise FloatingPointError(f"Non-finite values in {name}: {bad[:10]}"
+                                 + ("..." if len(bad) > 10 else ""))
+
+
+class ProgressBar:
+    """Minimal pause-able progress reporter (ref utils.py:540-572): rate +
+    ETA lines through the logger (no tqdm dependency; logs are the UI here).
+    pause()/resume() suppress output, e.g. around interleaved prints."""
+
+    def __init__(self, desc: str, total: int, unit: str = "it",
+                 log_every: float = 5.0):
+        self.desc = desc
+        self.total = total
+        self.unit = unit
+        self.log_every = log_every
+        self.n = 0
+        self._paused = False
+        self._start = time.perf_counter()
+        self._last_log = self._start
+
+    def update(self, n: int = 1) -> None:
+        self.n += n
+        now = time.perf_counter()
+        if not self._paused and (now - self._last_log >= self.log_every
+                                 or self.n >= self.total):
+            rate = self.n / max(now - self._start, 1e-9)
+            eta = (self.total - self.n) / max(rate, 1e-9)
+            log.info(f"{self.desc}: {self.n}/{self.total} {self.unit} "
+                     f"({rate:.1f}/s, ETA {eta:.0f}s)")
+            self._last_log = now
+
+    def pause(self) -> None:
+        self._paused = True
+
+    def resume(self) -> None:
+        self._paused = False
+        self._last_log = 0.0  # log on next update
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if self.n < self.total:
+            log.info(f"{self.desc}: stopped at {self.n}/{self.total} {self.unit}")
         return False

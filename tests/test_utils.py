@@ -110,3 +110,41 @@ def test_path_tags(tmp_path):
     assert p == "cache_openclip_timm_ViT-B-16-SigLIP.bin"
     with pytest.raises(ValueError):
         cfg_mod.resolve_path_tags("$IMAGEDIR/x")
+
+
+def test_set_determinism():
+    import random
+
+    import numpy as np
+
+    from novic_tpu.utils.misc import set_determinism
+
+    set_determinism(123)
+    a = (random.random(), np.random.rand())
+    set_determinism(123)
+    b = (random.random(), np.random.rand())
+    assert a == b
+
+
+def test_nan_check():
+    import numpy as np
+    import pytest
+
+    from novic_tpu.utils.misc import nan_check
+
+    nan_check({"w": np.ones(3), "b": np.zeros(2), "i": np.arange(3)})
+    with pytest.raises(FloatingPointError, match="grads"):
+        nan_check({"layer": {"w": np.array([1.0, np.nan])}}, name="grads")
+
+
+def test_progress_bar():
+    from novic_tpu.utils.misc import ProgressBar
+
+    with ProgressBar("test", total=10, log_every=0.0) as bar:
+        for _ in range(4):
+            bar.update()
+        bar.pause()
+        bar.update(2)
+        bar.resume()
+        bar.update(4)
+    assert bar.n == 10
