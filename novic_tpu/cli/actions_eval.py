@@ -34,7 +34,6 @@ from novic_tpu.data.classification import (
     load_image_dataset_prompts,
 )
 from novic_tpu.infer import (
-    Decoder,
     GenerationConfig,
     GenerationTask,
     GenerationTaskList,

@@ -23,7 +23,7 @@ import itertools
 import json
 import os
 import random
-from typing import Any, Iterable, Optional, Sequence, Union
+from typing import Iterable, Optional, Sequence, Union
 
 import numpy as np
 

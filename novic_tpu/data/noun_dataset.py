@@ -29,7 +29,7 @@ import json
 import os
 import random
 import string
-from typing import Any, Iterable, Optional, Union
+from typing import Iterable, Optional, Union
 
 import numpy as np
 

@@ -10,7 +10,7 @@ The PIL host path is kept for bit-parity validation against the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

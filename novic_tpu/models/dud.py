@@ -7,7 +7,7 @@ methods emit a constant noun (reference embedding_decoder.py:454-610).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
