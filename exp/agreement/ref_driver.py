@@ -97,6 +97,40 @@ def cmd_labels(args) -> None:
     print(f"ref labels: {len(result['preds'])} images, gencfg {model.gencfg.name}")
 
 
+def cmd_readcache(args) -> None:
+    """Open a cache file WRITTEN BY novic_tpu with the reference's own
+    EmbeddingCache reader (byte-level format interop beyond the golden file)."""
+    import embedding_cache  # reference module
+
+    emb = _create_embedder(args.hf_dir)
+    with open(args.nouns_json) as f:
+        nouns = json.load(f)
+    tc = emb.create_target_config(
+        tuple(nouns), with_start_token=False, with_end_token=True,
+        compact_ids=True, fixed_token_length=False,
+        auto_fixed_token_length=True, use_masks=True)
+    emb.configure_target(target_config=tc, target_vocab=tuple(nouns))
+    cache = embedding_cache.EmbeddingCache(args.cache, emb, use_targets=True,
+                                           strict_embedder=False)
+    with cache:
+        n = cache.header.embed_num
+        embed, target_ids, target, mask, weight = cache.get_samples(0, n)
+        rows = []
+        for i in range(n):
+            row_nouns = [cache.target_nouns[int(t)] for t in target_ids[i]
+                         if int(t) != 0]
+            rows.append({
+                "nouns": row_nouns,
+                "embed_head": [float(x) for x in embed[i][:4]],
+                "tokens": [[int(x) for x in target[i, j]]
+                           for j in range(target.shape[1])],
+            })
+    with open(args.out, "w") as f:
+        json.dump({"num": int(n), "target_nouns": list(cache.target_nouns),
+                   "rows": rows}, f)
+    print(f"ref readcache: {n} rows via reference EmbeddingCache")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -115,8 +149,14 @@ def main() -> None:
     l.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     l.add_argument("--batch-size", type=int, default=16)
     l.add_argument("--out", required=True)
+    rc = sub.add_parser("readcache")
+    rc.add_argument("--hf-dir", required=True)
+    rc.add_argument("--cache", required=True)
+    rc.add_argument("--nouns-json", required=True)
+    rc.add_argument("--out", required=True)
     args = p.parse_args()
-    {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels}[args.cmd](args)
+    {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
+     "readcache": cmd_readcache}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ Phases (in dependency order):
            embedder (so labels are confident, not argmax-on-noise)
   labels — run reference NOVICModel + our NOVICModel on the images, compare
   labels_extra — same comparison for greedy and the exhaustive 'all' scorer
+  cacheio — the reference's EmbeddingCache reader consumes OUR writer's file
 
 Usage: python exp/agreement/run_agreement.py [--phases assets,tokens,...]
 Writes AGREEMENT_r02.md at the repo root when the labels phase completes.
@@ -535,6 +536,78 @@ def phase_labels(model_path: str, gencfg: str = GENCFG,
     return result
 
 
+def phase_cacheio() -> dict:
+    """Cross-implementation cache interop: OUR EmbeddingCacheWriter writes a
+    cache with targets; the REFERENCE's EmbeddingCache reader (torch, ref
+    embedding_cache.py) opens it and must see identical rows. Proves the v1
+    format compatibility live, beyond the golden byte test."""
+    sys.path.insert(0, REPO)
+    import numpy as _np
+
+    from novic_tpu.data.cache import EmbeddingCacheWriter
+    from novic_tpu.text.clip_bpe import CLIPBPETokenizer
+    from novic_tpu.text.target import TargetTokenizer, create_target_config
+
+    nouns = sorted(dict.fromkeys(NOUNS))[:60]
+    tok = CLIPBPETokenizer(os.path.join(WORK, "merges.txt"), context_length=77)
+    tc = create_target_config(tok, nouns, with_start_token=False,
+                              with_end_token=True, compact_ids=True,
+                              fixed_token_length=False,
+                              auto_fixed_token_length=True, use_masks=True)
+    # The reference's transformers backend produces int64 tokens (ref
+    # embedders.py:833) and its reader requires dtype match with its embedder
+    import dataclasses as _dc
+
+    tc = _dc.replace(tc, token_dtype="int64",
+                     compact_map=tc.compact_map.astype(np.int64),
+                     compact_unmap=tc.compact_unmap.astype(np.int64))
+    tt = TargetTokenizer(tok, tc)
+    rng = np.random.default_rng(7)
+    N, F = 200, 128
+    embeds = rng.normal(size=(N, F)).astype(np.float32)
+    embeds /= np.linalg.norm(embeds, axis=1, keepdims=True)
+    noun_ids = rng.integers(1, len(nouns) + 1, size=(N, 2)).astype(np.int32)
+    noun_ids[rng.random(N) < 0.4, 1] = 0  # some single-target rows
+
+    cache_path = os.path.join(WORK, "interop_cache.bin")
+    with EmbeddingCacheWriter(cache_path, num_embed=N, embed_dim=F,
+                              target_tokenizer=tt, target_nouns=nouns,
+                              num_embed_targets=2, shuffle=True,
+                              full_targets=False, default_weights=True,
+                              unit_weights=True, embedder_strict=False,
+                              seed=5) as w:
+        for i in range(0, N, 32):
+            w.write(embeds[i:i + 32], noun_ids[i:i + 32])
+
+    nouns_json = os.path.join(WORK, "interop_nouns.json")
+    with open(nouns_json, "w") as f:
+        json.dump(nouns, f)
+    ref_out = os.path.join(WORK, "ref_readcache.json")
+    run_ref(["readcache", "--hf-dir", os.path.join(WORK, "hf_model"),
+             "--cache", cache_path, "--nouns-json", nouns_json,
+             "--out", ref_out])
+
+    with open(ref_out) as f:
+        ref = json.load(f)
+    # The writer shuffles rows on disk; compare as multisets of
+    # (noun-set, embed-head) and verify embed<->noun pairing row by row
+    expect = {}
+    for i in range(N):
+        key = tuple(np.round(embeds[i][:4], 5))
+        expect[key] = sorted(nouns[j - 1] for j in noun_ids[i] if j > 0)
+    ok = 0
+    for row in ref["rows"]:
+        key = tuple(np.round(np.asarray(row["embed_head"], np.float32), 5))
+        ok += sorted(row["nouns"]) == expect.get(key)
+    result = {"rows": N, "pairing_ok": ok}
+    log(f"cache interop: reference reader sees correct embed<->target pairing "
+        f"on {ok}/{N} shuffled rows")
+    assert ok == N, "reference reader disagreed with our writer"
+    with open(os.path.join(WORK, "result_cacheio.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
 def write_report() -> None:
     def load(name):
         p = os.path.join(WORK, name)
@@ -609,6 +682,18 @@ def write_report() -> None:
             for d in labels["diffs"][:20]:
                 lines.append(f"- `{d['image']}`: ours {d['ours']} vs ref {d['ref']}")
             lines.append("")
+    cacheio = load("result_cacheio.json")
+    if cacheio:
+        lines += [
+            "## Cache-format interop (reference reader on our writer's file)",
+            "",
+            f"- The REFERENCE's own `EmbeddingCache` reader (torch) opened a cache"
+            f" written by this framework's `EmbeddingCacheWriter` (writer-side"
+            f" global shuffle, 2-target rows, int64 transformers-backend dtype)"
+            f" and saw correct embed<->target pairing on"
+            f" **{cacheio['pairing_ok']}/{cacheio['rows']}** rows.",
+            "",
+        ]
     lines += [
         "## Reproduce",
         "",
@@ -655,6 +740,8 @@ def main() -> None:
                      result_name="result_labels_greedy.json")
         phase_labels(model_path, gencfg="all_k5_vnone_gp_t1_a0",
                      result_name="result_labels_all.json")
+    if "cacheio" in phases:
+        phase_cacheio()
     if "report" in phases:
         write_report()
 
