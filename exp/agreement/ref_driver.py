@@ -131,6 +131,24 @@ def cmd_readcache(args) -> None:
     print(f"ref readcache: {n} rows via reference EmbeddingCache")
 
 
+def cmd_writecache(args) -> None:
+    """Write a cache with the reference's own PhotoCacheWriter ('a photo of a
+    {noun}' per target noun) for the novic_tpu reader to consume."""
+    import embedding_cache_writers  # reference module
+
+    emb = _create_embedder(args.hf_dir)
+    with open(args.nouns_json) as f:
+        nouns = json.load(f)
+    tc = emb.create_target_config(
+        tuple(nouns), with_start_token=False, with_end_token=True,
+        compact_ids=True, fixed_token_length=False,
+        auto_fixed_token_length=True, use_masks=True)
+    emb.configure_target(target_config=tc, target_vocab=tuple(nouns))
+    embedding_cache_writers.PhotoCacheWriter(
+        cache_path=args.cache, embedder=emb, target_nouns=tuple(nouns)).generate()
+    print(f"ref writecache: wrote {len(nouns)} rows via reference PhotoCacheWriter")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -149,6 +167,10 @@ def main() -> None:
     l.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     l.add_argument("--batch-size", type=int, default=16)
     l.add_argument("--out", required=True)
+    wc = sub.add_parser("writecache")
+    wc.add_argument("--hf-dir", required=True)
+    wc.add_argument("--cache", required=True)
+    wc.add_argument("--nouns-json", required=True)
     rc = sub.add_parser("readcache")
     rc.add_argument("--hf-dir", required=True)
     rc.add_argument("--cache", required=True)
@@ -156,7 +178,7 @@ def main() -> None:
     rc.add_argument("--out", required=True)
     args = p.parse_args()
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
-     "readcache": cmd_readcache}[args.cmd](args)
+     "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -603,6 +603,29 @@ def phase_cacheio() -> dict:
     log(f"cache interop: reference reader sees correct embed<->target pairing "
         f"on {ok}/{N} shuffled rows")
     assert ok == N, "reference reader disagreed with our writer"
+
+    # Reverse direction: the REFERENCE's PhotoCacheWriter writes; OUR reader
+    # consumes and each row's embedding must equal OUR embedding of
+    # 'a photo of a {noun}' for that row's stored target noun.
+    ref_cache = os.path.join(WORK, "interop_ref_cache.bin")
+    run_ref(["writecache", "--hf-dir", os.path.join(WORK, "hf_model"),
+             "--cache", ref_cache, "--nouns-json", nouns_json])
+    from novic_tpu.data.cache import CacheExpectation, EmbeddingCache
+
+    emb = _our_embedder()
+    with EmbeddingCache(ref_cache,
+                        CacheExpectation(embed_dim=emb.embed_dim,
+                                         embed_dtype=np.float32),
+                        strict_embedder=False) as rc:
+        e2, tids2, _, _, _ = rc.get_samples(0, rc.header.embed_num)
+        row_nouns = [rc.target_nouns[int(t)] for t in tids2[:, 0]]
+    ours2 = emb.inference_text([f"a photo of a {n}" for n in row_nouns])
+    max_abs = float(np.abs(ours2 - e2).max())
+    log(f"cache interop (reverse): our reader on the reference writer's file — "
+        f"{len(row_nouns)} rows, re-embedded max abs diff {max_abs:.2e}")
+    assert max_abs < 5e-6, "reverse interop embedding mismatch"
+    result["reverse_rows"] = len(row_nouns)
+    result["reverse_max_abs"] = max_abs
     with open(os.path.join(WORK, "result_cacheio.json"), "w") as f:
         json.dump(result, f)
     return result
@@ -692,6 +715,13 @@ def write_report() -> None:
             f" global shuffle, 2-target rows, int64 transformers-backend dtype)"
             f" and saw correct embed<->target pairing on"
             f" **{cacheio['pairing_ok']}/{cacheio['rows']}** rows.",
+        ] + ([
+            f"- Reverse direction: the reference's `PhotoCacheWriter` wrote a cache"
+            f" and OUR reader consumed it — every row's embedding matches our"
+            f" re-embedding of its stored target noun"
+            f" (max abs {cacheio['reverse_max_abs']:.1e} over"
+            f" {cacheio['reverse_rows']} rows).",
+        ] if "reverse_max_abs" in cacheio else []) + [
             "",
         ]
     lines += [
