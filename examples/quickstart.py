@@ -15,7 +15,10 @@ Run:  python examples/quickstart.py
 """
 
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

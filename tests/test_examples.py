@@ -1,0 +1,28 @@
+"""The public examples stay runnable (subprocess smoke on the CPU mesh)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str, timeout: int = 420) -> str:
+    env = dict(os.environ)
+    env.pop("NOVIC_MESH", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script)],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+def test_quickstart_example():
+    out = _run("quickstart.py")
+    assert "-->" in out  # classified predictions printed
+
+
+def test_multichip_dp_example():
+    out = _run("multichip_dp.py")
+    assert "mesh: 8 x cpu" in out
+    assert "OK: replicated-params DP train + batch-sharded beam serving" in out
