@@ -80,7 +80,17 @@ def action_train(cfg):
     lr_resume_fresh = False
     ckpts = find_checkpoints(cfg)
     if ckpts:
-        ckpt = load_checkpoint(ckpts[-1])
+        if ckpts[-1].endswith((".model", ".train")):
+            # Reference torch checkpoint: params + loop counters resume; the
+            # torch-AdamW moments are not convertible, so the optimizer
+            # restarts fresh (documented divergence from a native resume)
+            from novic_tpu.train.checkpoint import load_reference_checkpoint
+
+            ckpt = load_reference_checkpoint(ckpts[-1])
+            log.info("Resuming from a REFERENCE torch checkpoint: optimizer "
+                     "state restarts (moments are not converted)")
+        else:
+            ckpt = load_checkpoint(ckpts[-1])
         check_loaded_config(ckpt["cfg_flat"], config_to_flat(cfg))
         params = ckpt["params"]
         if cfg.load_train_state and ckpt["train_meta"].get("loop_state"):

@@ -365,6 +365,23 @@ def load_reference_checkpoint(path: str) -> dict:
     )
 
     params = torch_state_dict_to_params(ckpt["model_state_dict"], model_config)
+
+    # .train checkpoints carry the loop state (ref train.py:948-974); map the
+    # intersecting fields so training can RESUME from a reference checkpoint
+    # (counters + save policy + EWA gate; optimizer moments are torch-AdamW
+    # and are NOT converted — the caller restarts the optimizer).
+    train_meta = {}
+    ref_loop = ckpt.get("train_loop_state")
+    if isinstance(ref_loop, dict):
+        from novic_tpu.train.loop import TrainLoopState
+
+        fields = set(TrainLoopState.__dataclass_fields__)
+        loop_state = {}
+        for k, v in ref_loop.items():
+            if k in fields:
+                loop_state[k] = v.item() if hasattr(v, "item") else v
+        if loop_state:
+            train_meta["loop_state"] = loop_state
     return {
         "params": params,
         "model_config": model_config,
@@ -373,6 +390,8 @@ def load_reference_checkpoint(path: str) -> dict:
         "num_invalid_target_nouns": int(ckpt.get("num_invalid_target_nouns", 0)),
         "cfg_flat": cfg_flat,
         "data_config": ckpt.get("data_config"),
+        "train_meta": train_meta,
+        "opt_arrays": None,
     }
 
 

@@ -410,3 +410,69 @@ def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root,
                    + cls_args + model_args + common_args(workdir))
         (path, r), = list(res.items())
         assert r["total"] == 16
+
+
+def test_cli_resume_from_reference_train_checkpoint(workdir, tmp_path):
+    """action=train resumes from a REFERENCE torch .train checkpoint: params
+    load through the interop path, loop counters resume, optimizer restarts
+    (ref train.py:1057-1101 resume semantics; moments are torch-AdamW)."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    import jax
+
+    from novic_tpu.models.base import create_decoder
+    from novic_tpu.models.config import DecoderModelConfig
+    from novic_tpu.train.checkpoint import params_to_torch_state_dict
+    from novic_tpu.text.simple import make_test_tokenizer
+    from novic_tpu.text.target import create_target_config
+
+    # Build a tiny decoder + reference-schema .train checkpoint
+    nouns = [v["target_noun"] for v in VOCAB]
+    tok = make_test_tokenizer(nouns)
+    tc = create_target_config(tok, nouns, with_start_token=False,
+                              with_end_token=True, compact_ids=True,
+                              fixed_token_length=True,
+                              auto_fixed_token_length=True, use_masks=True)
+    mc = DecoderModelConfig(embed_dim=32, vocab_size=tc.vocab_size,
+                            token_length=tc.token_length, hidden_dim=32,
+                            num_layers=2, num_heads=4, mlp_seq_len=2,
+                            input_dropout=0.0, layer_dropout=0.0)
+    _, params = create_decoder(mc, rng=jax.random.PRNGKey(0))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in params_to_torch_state_dict(
+              jax.tree.map(np.asarray, params), mc).items()}
+    cfg_flat = {f: getattr(mc, f) for f in mc.__dataclass_fields__}
+    ckpt = {
+        "cfg_flat": cfg_flat,
+        "target_config": {"vocab_size": tc.vocab_size, "token_dtype": torch.int32,
+                          "mask_dtype": torch.bool, "start_token_id": None,
+                          "end_token_id": 0, "pad_token_id": 0, "compact_ids": True,
+                          "compact_map": torch.from_numpy(tc.compact_map),
+                          "compact_unmap": torch.from_numpy(tc.compact_unmap),
+                          "fixed_token_length": True,
+                          "token_length": tc.token_length, "use_masks": True},
+        "data_config": {},
+        "model_state_dict": sd,
+        "target_nouns": ("",) + tuple(nouns),
+        "num_invalid_target_nouns": 1,
+        "train_loop_config": {},
+        "train_loop_state": {"epoch_id": 2, "chunk_id": 5, "batch_id": 17,
+                             "sample_id": 129, "saved_num": 1,
+                             "ewa_train_top1_last": 0.5},
+        "optimizer_type": "torch.optim.AdamW",
+        "optimizer_state_dict": {"state": {}, "param_groups": []},
+    }
+    ref_path = str(tmp_path / "ovod_chunk0005_x.train")
+    torch.save(ckpt, ref_path)
+
+    args = common_args(workdir)
+    cache = f"{workdir}/noun_cache.bin"  # from the pipeline test
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    state, S, _ = main(["action=train", f"embedding_dataset={cache}",
+                        f"load_model={ref_path}", "chunk_scale=4", "max_chunks=7",
+                        "init_lr=3e-3", "save_every_max=100", "save_top1_min=200"]
+                       + model_args + args)
+    # Loop counters resumed from the reference checkpoint (chunk 5 -> 8)
+    assert S.chunk_id == 8
