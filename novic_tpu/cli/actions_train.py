@@ -81,14 +81,16 @@ def action_train(cfg):
     ckpts = find_checkpoints(cfg)
     if ckpts:
         if ckpts[-1].endswith((".model", ".train")):
-            # Reference torch checkpoint: params + loop counters resume; the
-            # torch-AdamW moments are not convertible, so the optimizer
-            # restarts fresh (documented divergence from a native resume)
+            # Reference torch checkpoint: params, loop counters AND AdamW
+            # moments resume (moments convert through the same name mapping
+            # as the params); the optimizer restarts only if the state is
+            # absent or not AdamW
             from novic_tpu.train.checkpoint import load_reference_checkpoint
 
             ckpt = load_reference_checkpoint(ckpts[-1])
-            log.info("Resuming from a REFERENCE torch checkpoint: optimizer "
-                     "state restarts (moments are not converted)")
+            log.info("Resuming from a REFERENCE torch checkpoint"
+                     + ("" if ckpt.get("opt_arrays") is not None else
+                        ": optimizer state restarts"))
         else:
             ckpt = load_checkpoint(ckpts[-1])
         check_loaded_config(ckpt["cfg_flat"], config_to_flat(cfg))

@@ -367,9 +367,7 @@ def load_reference_checkpoint(path: str) -> dict:
     params = torch_state_dict_to_params(ckpt["model_state_dict"], model_config)
 
     # .train checkpoints carry the loop state (ref train.py:948-974); map the
-    # intersecting fields so training can RESUME from a reference checkpoint
-    # (counters + save policy + EWA gate; optimizer moments are torch-AdamW
-    # and are NOT converted — the caller restarts the optimizer).
+    # intersecting fields so training can RESUME from a reference checkpoint.
     train_meta = {}
     ref_loop = ckpt.get("train_loop_state")
     if isinstance(ref_loop, dict):
@@ -382,6 +380,8 @@ def load_reference_checkpoint(path: str) -> dict:
                 loop_state[k] = v.item() if hasattr(v, "item") else v
         if loop_state:
             train_meta["loop_state"] = loop_state
+
+    opt_arrays = _convert_reference_optimizer_state(ckpt, model_config, params, cfg_flat)
     return {
         "params": params,
         "model_config": model_config,
@@ -391,8 +391,82 @@ def load_reference_checkpoint(path: str) -> dict:
         "cfg_flat": cfg_flat,
         "data_config": ckpt.get("data_config"),
         "train_meta": train_meta,
-        "opt_arrays": None,
+        "opt_arrays": opt_arrays,
     }
+
+
+def _convert_reference_optimizer_state(ckpt: dict, model_config: DecoderModelConfig,
+                                       params: dict, cfg_flat: dict):
+    """Reference torch-AdamW optimizer state → our optax leaf list (or None).
+
+    Torch indexes optimizer state by global param position across param
+    groups; the reference builds the groups as [1D no-decay params, ND decay
+    params], each in model.parameters() order (= state-dict order minus
+    buffers, ref train.py:1103-1116). The exp_avg/exp_avg_sq moments then
+    convert through the same name mapping as the params (pure renames — both
+    layouts are torch layout), and are grafted into a freshly-initialized
+    optax state whose flat leaves the training loop restores.
+    """
+    opt_sd = ckpt.get("optimizer_state_dict")
+    if not isinstance(opt_sd, dict) or not opt_sd.get("state"):
+        return None
+    opt_type = str(ckpt.get("optimizer_type", "AdamW"))
+    if "AdamW" not in opt_type:
+        log.warning(f"Reference optimizer {opt_type} is not AdamW => optimizer restarts")
+        return None
+
+    sd = ckpt["model_state_dict"]
+    param_keys = [k for k in sd if k != "causality_mask"]
+
+    def _ndim(k):
+        return np.asarray(sd[k]).ndim
+
+    if bool(cfg_flat.get("weight_decay_1d", False)):
+        ordered = param_keys
+    else:
+        ordered = ([k for k in param_keys if _ndim(k) < 2]
+                   + [k for k in param_keys if _ndim(k) >= 2])
+
+    state_items = opt_sd["state"]
+    if len(state_items) != len(ordered):
+        log.warning(f"Reference optimizer state covers {len(state_items)}/"
+                    f"{len(ordered)} params => optimizer restarts")
+        return None
+    mu_sd, nu_sd = {}, {}
+    step = 0
+    try:
+        for idx, st in state_items.items():
+            key = ordered[int(idx)]
+            mu_sd[key] = st["exp_avg"]
+            nu_sd[key] = st["exp_avg_sq"]
+            s = st.get("step", 0)
+            step = max(step, int(s.item() if hasattr(s, "item") else s))
+        mu = torch_state_dict_to_params(mu_sd, model_config)
+        nu = torch_state_dict_to_params(nu_sd, model_config)
+    except (KeyError, IndexError, ValueError, TypeError) as e:
+        log.warning(f"Could not convert reference optimizer state ({e}) => "
+                    f"optimizer restarts")
+        return None
+
+    import jax
+    import jax.numpy as jnp
+
+    from novic_tpu.train.optim import create_optimizer
+
+    tx = create_optimizer(
+        beta1=float(cfg_flat.get("beta1", 0.9)),
+        beta2=float(cfg_flat.get("beta2", 0.95)),
+        weight_decay=float(cfg_flat.get("weight_decay", 0.1)),
+        weight_decay_1d=bool(cfg_flat.get("weight_decay_1d", False)))
+    fresh = tx.init(jax.tree.map(jnp.asarray, params))
+    adam = fresh.inner_state[0]
+    adam = adam._replace(count=jnp.asarray(step, jnp.int32),
+                         mu=jax.tree.map(jnp.asarray, mu),
+                         nu=jax.tree.map(jnp.asarray, nu))
+    grafted = fresh._replace(inner_state=(adam,) + tuple(fresh.inner_state[1:]))
+    log.info(f"Converted reference AdamW optimizer state: {len(state_items)} "
+             f"param moments at step {step}")
+    return [np.asarray(x) for x in jax.tree.leaves(grafted)]
 
 
 def save_reference_checkpoint(path: str, *, params: dict, model_config: DecoderModelConfig,

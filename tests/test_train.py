@@ -426,3 +426,82 @@ def test_load_reference_checkpoint_never_falls_back_on_refusal(tmp_path):
         zf.writestr("archive/data.pkl", payload)
     with pytest.raises(_pickle.UnpicklingError):
         load_reference_checkpoint(path)
+
+
+def test_reference_adamw_state_conversion(setup, tmp_path):
+    """Reference torch-AdamW optimizer moments convert into our optax state:
+    the param-index mapping is validated against a REAL torch AdamW built
+    exactly like the reference (1D no-decay group first, then ND decay group,
+    each in parameters() order — ref train.py:1103-1116)."""
+    torch = pytest.importorskip("torch")
+    from novic_tpu.train.checkpoint import (
+        load_reference_checkpoint,
+        params_to_torch_state_dict,
+    )
+
+    tmp, tok, tc, tt, cache_path = setup
+    model, params = make_model(tc)
+    np_params = jax.tree.map(np.asarray, params)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)).clone()
+          for k, v in params_to_torch_state_dict(np_params, model.cfg).items()}
+    param_keys = [k for k in sd if k != "causality_mask"]
+    for k in param_keys:
+        sd[k].requires_grad_(True)
+    p1d = [sd[k] for k in param_keys if sd[k].dim() < 2]
+    pnd = [sd[k] for k in param_keys if sd[k].dim() >= 2]
+    opt = torch.optim.AdamW([{"params": p1d, "weight_decay": 0.0},
+                             {"params": pnd, "weight_decay": 0.1}],
+                            lr=1e-3, betas=(0.9, 0.95))
+    # Distinct, recognizable gradients per param -> distinct moments
+    gen = torch.Generator().manual_seed(0)
+    for k in param_keys:
+        sd[k].grad = torch.randn(sd[k].shape, generator=gen)
+    opt.step()
+
+    cfg_flat = {f: getattr(model.cfg, f) for f in model.cfg.__dataclass_fields__}
+    cfg_flat.update(beta1=0.9, beta2=0.95, weight_decay=0.1, weight_decay_1d=False)
+    ckpt = {
+        "cfg_flat": cfg_flat,
+        "target_config": {"vocab_size": tc.vocab_size, "token_dtype": torch.int32,
+                          "mask_dtype": torch.bool, "start_token_id": None,
+                          "end_token_id": 0, "pad_token_id": 0, "compact_ids": True,
+                          "compact_map": torch.from_numpy(tc.compact_map),
+                          "compact_unmap": torch.from_numpy(tc.compact_unmap),
+                          "fixed_token_length": True, "token_length": tc.token_length,
+                          "use_masks": True},
+        "data_config": {},
+        "model_state_dict": {k: v.detach() for k, v in sd.items()},
+        "target_nouns": ("",) + tuple(NOUNS),
+        "num_invalid_target_nouns": 1,
+        "train_loop_state": {"chunk_id": 3},
+        "optimizer_type": "torch.optim.AdamW",
+        "optimizer_state_dict": opt.state_dict(),
+    }
+    path = str(tmp_path / "adamw.train")
+    torch.save(ckpt, path)
+
+    loaded = load_reference_checkpoint(path)
+    assert loaded["opt_arrays"] is not None
+    assert loaded["train_meta"]["loop_state"]["chunk_id"] == 3
+
+    # Rebuild the optax state and compare every mu/nu leaf against the torch
+    # moments by NAME (independent of the index mapping under test)
+    from novic_tpu.train.loop import restore_opt_state
+    from novic_tpu.train.optim import create_optimizer
+    from novic_tpu.train.step import create_train_state
+    from novic_tpu.train.checkpoint import torch_state_dict_to_params
+
+    tx = create_optimizer(beta1=0.9, beta2=0.95, weight_decay=0.1,
+                          weight_decay_1d=False)
+    state = create_train_state(loaded["params"], tx)
+    state = restore_opt_state(state, loaded["opt_arrays"])
+    adam = state.opt_state.inner_state[0]
+    assert int(adam.count) == 1  # one optimizer step taken
+    expect_mu = torch_state_dict_to_params(
+        {k: opt.state[sd[k]]["exp_avg"] for k in param_keys}, model.cfg)
+    expect_nu = torch_state_dict_to_params(
+        {k: opt.state[sd[k]]["exp_avg_sq"] for k in param_keys}, model.cfg)
+    for a, b in zip(jax.tree.leaves(adam.mu), jax.tree.leaves(expect_mu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree.leaves(adam.nu), jax.tree.leaves(expect_nu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
