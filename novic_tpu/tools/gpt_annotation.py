@@ -324,8 +324,12 @@ class BatchAnnotationDriver:
         for image_path, noun in pairs:
             sample = os.path.basename(image_path)
             state = self.states.setdefault((sample, noun), OpinionState())
-            missing = (MIN_OPINIONS if not state.opinions else
-                       (0 if state.decided else 1))
+            if state.decided:
+                missing = 0
+            elif len(state.opinions) < MIN_OPINIONS:
+                missing = MIN_OPINIONS - len(state.opinions)  # top up to the minimum
+            else:
+                missing = 1  # undecided past the minimum: one more opinion
             missing = max(missing - in_flight[(sample, noun)], 0)
             for _ in range(missing):
                 req = build_batch_requests([(image_path, noun)], model=self.model)[0]
@@ -343,16 +347,16 @@ class BatchAnnotationDriver:
         chunk: list[dict] = []
         chunk_bytes = chunk_tokens = 0
         for req in requests:
-            line = json.dumps(req) + "\n"
+            line_bytes = len((json.dumps(req) + "\n").encode())
             n_tok = _estimate_request_tokens(req)
             if chunk and (len(chunk) >= self.max_batch_requests
-                          or chunk_bytes + len(line) > self.max_batch_size
+                          or chunk_bytes + line_bytes > self.max_batch_size
                           or chunk_tokens + n_tok > self.max_pending_tokens):
                 self._send_batch(chunk, chunk_bytes, chunk_tokens)
                 launched += 1
                 chunk, chunk_bytes, chunk_tokens = [], 0, 0
             chunk.append(req)
-            chunk_bytes += len(line.encode())
+            chunk_bytes += line_bytes
             chunk_tokens += n_tok
         if chunk:
             self._send_batch(chunk, chunk_bytes, chunk_tokens)
