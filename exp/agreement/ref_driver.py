@@ -97,6 +97,27 @@ def cmd_labels(args) -> None:
     print(f"ref labels: {len(result['preds'])} images, gencfg {model.gencfg.name}")
 
 
+def cmd_labels_embeds(args) -> None:
+    """Classify precomputed embeddings with the reference NOVICModel (skips
+    its embedder image path — isolates decoder/beam semantics)."""
+    import torch
+    import infer  # reference module
+
+    model = infer.NOVICModel(checkpoint=args.checkpoint, gencfg=args.gencfg,
+                             device="cpu", batch_size=args.batch_size)
+    embeds = np.load(args.embeds_npz)["image"].astype(np.float32)
+    with model:
+        output = model.classify_embeds(embeds=torch.from_numpy(embeds))
+    result = {
+        "preds": output.preds,
+        "logprobs": [[float(x) for x in row] for row in output.logprobs],
+        "gencfg": model.gencfg.name,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"ref labels_embeds: {len(result['preds'])} rows, gencfg {model.gencfg.name}")
+
+
 def cmd_readcache(args) -> None:
     """Open a cache file WRITTEN BY novic_tpu with the reference's own
     EmbeddingCache reader (byte-level format interop beyond the golden file)."""
@@ -167,6 +188,12 @@ def main() -> None:
     l.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     l.add_argument("--batch-size", type=int, default=16)
     l.add_argument("--out", required=True)
+    le = sub.add_parser("labels_embeds")
+    le.add_argument("--checkpoint", required=True)
+    le.add_argument("--embeds-npz", required=True)
+    le.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
+    le.add_argument("--batch-size", type=int, default=16)
+    le.add_argument("--out", required=True)
     wc = sub.add_parser("writecache")
     wc.add_argument("--hf-dir", required=True)
     wc.add_argument("--cache", required=True)
@@ -178,6 +205,7 @@ def main() -> None:
     rc.add_argument("--out", required=True)
     args = p.parse_args()
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
+     "labels_embeds": cmd_labels_embeds,
      "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
 
 

@@ -15,6 +15,8 @@ import itertools
 import json
 import math
 import os
+import time
+from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax
@@ -191,10 +193,10 @@ def action_embedder_zero_shot(cfg):
 # ---------------------------------------------------------------------------
 
 
-def _eval_debug_print(cfg, decoder, embed, target, correct, pad_arr):
+def _eval_debug_print(cfg, decoder, embed, first_target, sample_correct, guide_ids):
     """Per-sample debug lines for the first eval batch: the teacher-forced
-    target vs greedy predictions, guided (unguided) when eval_guided
-    (ref train.py:1795-1811)."""
+    target vs greedy predictions, guided (unguided) when eval_guided, colored
+    by whole-noun correctness (ref train.py:1795-1811)."""
     from novic_tpu.models.generate import generate_greedy
 
     tt = decoder.target_tokenizer
@@ -202,18 +204,14 @@ def _eval_debug_print(cfg, decoder, embed, target, correct, pad_arr):
     embed = embed[:n]
     unguided = np.asarray(generate_greedy(decoder.model, decoder.params, embed)[0])
     guided = None
-    if cfg.get("eval_guided", False) and decoder.target_vocab:
-        gt, gp = tt.tokenize_target(list(decoder.target_vocab))
-        gt = np.where(gp, 0, gt) if gp is not None else gt
+    if guide_ids is not None:
         guided = np.asarray(generate_greedy(decoder.model, decoder.params, embed,
-                                            guide_targets=gt)[0])
-    ok = correct | (pad_arr if pad_arr is not None else False)
-    sample_ok = ok.all(axis=-1)
-    tgts = tt.detokenize_target(target[:n])
+                                            guide_targets=guide_ids)[0])
+    tgts = tt.detokenize_target(first_target[:n])
     un_strs = tt.detokenize_target(unguided)
     g_strs = tt.detokenize_target(guided) if guided is not None else None
     for i in range(n):
-        color = "\033[92m" if sample_ok[i] else "\033[91m"
+        color = "\033[92m" if sample_correct[i] else "\033[91m"
         if g_strs is not None:
             print(f"{color}{tgts[i]} --> {g_strs[i]} ({un_strs[i]})\033[0m")
         else:
@@ -222,7 +220,11 @@ def _eval_debug_print(cfg, decoder, embed, target, correct, pad_arr):
 
 def action_eval(cfg):
     """Teacher-forced loss + token top-1 + whole-noun top-1 per model over
-    embedding datasets."""
+    embedding datasets, at full reference fidelity (ref train.py:1650-1868):
+    multi-target batches score whole-noun correctness as any-of-M, target
+    weights feed the loss basis, and eval_guided applies guide-masked argmax
+    inside the metric. Datasets iterate outer / models inner with per-model
+    target-config translation, like the reference's eval_top1_metric."""
     embedder = load_embedder(cfg, load_model=False)
     ckpts = find_checkpoints(cfg)
     if not ckpts:
@@ -230,69 +232,149 @@ def action_eval(cfg):
     specs = cfg.embedding_datasets or [cfg.embedding_dataset]
     metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb,
                             project=cfg.wandb_project, config=_flat_cfg(cfg))
+    eval_train = bool(cfg.get("eval_train", False))
     results = {}
-    for ckpt_path in ckpts:
-        decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
-        apply_fn = jax.jit(lambda p, e, t, m: decoder.model.apply(
-            {"params": p}, e, t, m, None, calc_loss=True, calc_correct=True))
-        for spec in specs:
-            dataset = load_embedding_dataset(cfg, embedder, spec=spec, training=False)
-            gen_data_config(cfg, dataset)
-            loader, info = dataset.create_loader(batch_size=cfg.batch_size, training=False)
+    for spec in specs:
+        dataset = load_embedding_dataset(cfg, embedder, spec=spec, training=False)
+        # Guide set = the DATASET's target nouns (ref train.py:1748 uses
+        # dataset_embedder.target_vocab), captured before any checkpoint
+        # reconfigures the embedder's target config.
+        dataset_vocab = tuple(embedder.target_vocab or ())
+        gen_data_config(cfg, dataset)
+        dc = dataset.data_config
+        for ckpt_path in ckpts:
+            decoder = load_decoder_from_checkpoint(ckpt_path, embedder)
+            # Translate dataset tokens into the model's target config
+            # (ref train.py:1745 dataset.set_translation)
+            dataset.set_translation(embedder.target_config)
+            guide_ids = None
+            if cfg.eval_guided and dataset_vocab:
+                guide_ids, _ = load_guide_targets(decoder.target_tokenizer,
+                                                  dataset_vocab)
+            multi_first = bool(dc.multi_target and dc.multi_first)
+            rng0 = jax.random.PRNGKey(cfg.seed or 0)
+
+            @partial(jax.jit, static_argnames=("use_guides",))
+            def apply_fn(p, e, t, m, w, g, step, use_guides,
+                         _decoder=decoder, _multi_first=multi_first):
+                kwargs = {}
+                if eval_train:
+                    # ref eval_train: model in TRAIN mode, dropout active
+                    # (ref train.py:4160-4162)
+                    kwargs = dict(deterministic=False,
+                                  rngs={"dropout": jax.random.fold_in(rng0, step)})
+                return _decoder.model.apply(
+                    {"params": p}, e, t, m, w, calc_loss=True, calc_correct=True,
+                    guide_targets=g if use_guides else None,
+                    multi_first=_multi_first, **kwargs)
+
             loss_sum = loss_basis = 0.0
             tok_correct = tok_total = 0.0
-            noun_correct = noun_total = 0
+            noun_correct = 0
+            num_samples = num_valid_targets = 0
             Cmax = decoder.cfg.token_length
             pos_correct = np.zeros(Cmax)
             pos_total = np.zeros(Cmax)
             batches = 0
             debug = bool(cfg.get("eval_debug", False))
+            start_time = time.perf_counter()
             with dataset.loaded():
+                loader, info = dataset.create_loader(batch_size=cfg.batch_size,
+                                                     training=False)
                 for embed, target, mask, weight in loader:
-                    if target.ndim == 3:
-                        target, mask = target[:, 0], (None if mask is None else mask[:, 0])
+                    embed = np.asarray(embed, np.float32)
+                    target = np.asarray(target)
                     logits, pad, ls, lb, correct = apply_fn(
-                        decoder.params, np.asarray(embed, np.float32),
-                        np.asarray(target), None if mask is None else np.asarray(mask))
+                        decoder.params, embed, target,
+                        None if mask is None else np.asarray(mask),
+                        None if weight is None else np.asarray(weight),
+                        guide_ids, batches, use_guides=guide_ids is not None)
                     correct = np.asarray(correct)
                     pad_arr = None if pad is None else np.asarray(pad)
-                    if debug:
-                        # First-batch sample dump: target --> guided (unguided)
-                        # greedy predictions, green/red by teacher-forced
-                        # correctness (ref train.py:1795-1811)
-                        _eval_debug_print(cfg, decoder, np.asarray(embed, np.float32),
-                                          np.asarray(target), correct, pad_arr)
-                        debug = False
+                    # Batch shape handling (ref train.py:1785-1796): target is
+                    # (B,C) / (B,M,C) / (M,B,C); the last axis is the sequence.
+                    multi_dim = (None if not dc.multi_target
+                                 else 0 if dc.multi_first else 1)
+                    batch_shape = target.shape[:-1]
+                    B = embed.shape[0]
+                    num_batch_targets = int(np.prod(batch_shape))
+                    C = correct.shape[-1]
+
+                    if pad_arr is not None:
+                        valid_targets = ~pad_arr.all(axis=-1)  # fully-padded = invalid
+                        num_valid_targets += int(valid_targets.sum())
+                    else:
+                        num_valid_targets += num_batch_targets
+
+                    # Per-position token top-1 over ALL targets
+                    sum_dims = tuple(range(correct.ndim - 1))
+                    correct_seq = correct.sum(axis=sum_dims)
+                    pos_correct[:C] += correct_seq
+                    if pad_arr is None:
+                        pos_total[:C] += num_batch_targets
+                        batch_tokens = num_batch_targets * C
+                    else:
+                        padding_seq = pad_arr.sum(axis=sum_dims)
+                        tokens_seq = num_batch_targets - padding_seq
+                        pos_total[:C] += tokens_seq
+                        batch_tokens = int(tokens_seq.sum())
+                    tok_correct += float(correct_seq.sum())
+                    tok_total += batch_tokens
+
+                    # Whole-noun top-1: every non-padded token correct, target
+                    # valid, and any-of-M across multi-targets
+                    # (ref train.py:1788-1796)
+                    ok = correct | (pad_arr if pad_arr is not None else False)
+                    sample_correct = ok.all(axis=-1)
+                    if pad_arr is not None:
+                        sample_correct &= valid_targets
+                    if multi_dim is not None:
+                        sample_correct = sample_correct.any(axis=multi_dim)
+                    noun_correct += int(sample_correct.sum())
+                    num_samples += B
+
                     loss_sum += float(ls)
                     loss_basis += float(lb)
-                    tok_correct += correct.sum()
-                    tok_total += correct.size - (0 if pad_arr is None else pad_arr.sum())
-                    # Per-seq-position token top-1 (ref train.py:1650-1868 tables)
-                    C = correct.shape[-1]
-                    pos_correct[:C] += correct.sum(axis=0)
-                    pos_total[:C] += (correct.shape[0] if pad_arr is None
-                                      else (~pad_arr).sum(axis=0))
-                    # whole-noun top-1: all non-padded tokens of a sample correct
-                    ok = correct | (pad_arr if pad_arr is not None else False)
-                    noun_correct += int(ok.all(axis=-1).sum())
-                    noun_total += correct.shape[0]
+
+                    if debug:
+                        # First-batch sample dump: target --> guided (unguided)
+                        # greedy predictions, green/red by whole-noun
+                        # correctness (ref train.py:1795-1811)
+                        first_target = (target if multi_dim is None
+                                        else target[0] if dc.multi_first
+                                        else target[:, 0])
+                        _eval_debug_print(cfg, decoder, embed, first_target,
+                                          sample_correct, guide_ids)
+                        debug = False
                     batches += 1
                     if cfg.eval_batches and batches >= cfg.eval_batches:
                         break
+            elapsed = time.perf_counter() - start_time
             pos_top1 = [float(c / t) if t > 0 else None
                         for c, t in zip(pos_correct, pos_total)]
             res = {"loss": loss_sum / max(loss_basis, 1e-9),
                    "token_top1": tok_correct / max(tok_total, 1e-9),
-                   "noun_top1": noun_correct / max(noun_total, 1),
-                   "pos_top1": pos_top1}
+                   "noun_top1": noun_correct / max(num_samples, 1),
+                   "pos_top1": pos_top1,
+                   "tokens": int(tok_total),
+                   "num_valid_targets": num_valid_targets,
+                   "num_samples": num_samples, "num_batches": batches,
+                   "elapsed_time": elapsed}
             pos_str = " ".join(f"{p:.1%}" if p is not None else "-" for p in pos_top1)
             log.info(f"eval[{os.path.basename(ckpt_path)} @ {spec}]: "
                      f"loss {res['loss']:.4e}, token top1 {res['token_top1']:.3%}, "
-                     f"noun top1 {res['noun_top1']:.3%}, per-pos [{pos_str}]")
+                     f"noun top1 {res['noun_top1']:.3%}, per-pos [{pos_str}] "
+                     f"({num_samples} samples = {num_valid_targets} valid targets, "
+                     f"{elapsed:.1f}s)")
             results[(ckpt_path, spec)] = res
             metrics.log({"model": os.path.basename(ckpt_path), "dataset": spec,
                          "loss": res["loss"], "token_top1": res["token_top1"],
-                         "noun_top1": res["noun_top1"]})
+                         "noun_top1": res["noun_top1"],
+                         "tokens": res["tokens"],
+                         "num_valid_targets": num_valid_targets,
+                         "num_samples": num_samples,
+                         **{f"top1_{i}": (p if p is not None else 0.0)
+                            for i, p in enumerate(pos_top1, 1)}})
     metrics.finish()
     return results
 
@@ -444,8 +526,17 @@ def action_eval_cls_decoding(cfg):
                                 split=cfg.cls_split, variant=cfg.class_names_variant, clean=True)
         loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
                                       transform=embedder.get_image_transform(), shuffle=False)
+        # eval_samples_max: cap evaluated images (ref train.py:2233-2236)
+        max_samples = int(cfg.get("eval_samples_max", 0) or 0)
+        max_batches = (min(max(max_samples // cfg.batch_size_image, 1), len(loader))
+                       if 0 < max_samples < len(ds) else None)
+        if max_batches is not None:
+            log.warning(f"Limiting evaluation to at most {max_samples} samples "
+                        f"=> using {max_batches} batches")
         embeds_list, labels_list = [], []
-        for pixel, labels in loader:
+        for b, (pixel, labels) in enumerate(loader):
+            if max_batches is not None and b >= max_batches:
+                break
             embeds_list.append(embedder.inference_image(pixel))
             labels_list.append(labels)
         all_embeds = np.concatenate(embeds_list)
