@@ -591,6 +591,50 @@ def action_eval_cls_decoding(cfg):
 PREDICTIONS_VERSION = 1
 
 
+def load_sample_annotations(cfg, ann_json: str, image_dir: Optional[str] = None,
+                            update_samples: Optional[Sequence[str]] = None
+                            ) -> tuple[dict[str, dict[str, set]], dict[str, None]]:
+    """Load the annotation JSON ({sample_key: {category: [nouns]}}) and, when
+    update_samples is given, insert missing samples as empty skeleton entries
+    (every existing category -> []) and rewrite the file sorted — keeping the
+    human/GPT annotation loop closed (ref train.py:4197-4230 +
+    infer_ann_json_update at :2522-2553)."""
+    from novic_tpu.utils.config import IMAGEDIR_TAG
+
+    if not ann_json:
+        return {}, {}
+    if image_dir is not None and ann_json.startswith(IMAGEDIR_TAG):
+        ann_json = image_dir + ann_json[len(IMAGEDIR_TAG):]
+    else:
+        ann_json = resolve_path(cfg, ann_json)
+
+    with open(ann_json) as f:
+        class_annotations = json.load(f)
+    # Dict (not set): efficient 'in' while keeping first-seen category order
+    categories = {category: None for annotation in class_annotations.values()
+                  for category in annotation}
+
+    if update_samples is not None:
+        new_samples = {s for s in update_samples if s not in class_annotations}
+        for sample in new_samples:
+            class_annotations[sample] = {category: [] for category in categories}
+        if new_samples:
+            class_annotations = dict(sorted(class_annotations.items()))
+            with open(ann_json, "w") as f:
+                f.write(json_dumps(class_annotations, indent=2))
+            log.info(f"Updated annotations file with {len(new_samples)} new "
+                     f"samples: {ann_json}")
+
+    annotations = {sample: {category: set(classes)
+                            for category, classes in annotation.items()}
+                   for sample, annotation in class_annotations.items()}
+    total = sum(len(classes) for annotation in annotations.values()
+                for classes in annotation.values())
+    log.info(f"Loaded {total} class annotations in {len(categories)} categories "
+             f"for {len(annotations)} infer samples from: {ann_json}")
+    return annotations, categories
+
+
 def action_infer(cfg):
     """Embed texts/images, run all gencfgs, write versioned predictions JSON."""
     from novic_tpu.embedders.preprocess import load_images
@@ -621,6 +665,16 @@ def action_infer(cfg):
     if not embeds_parts:
         raise ValueError("infer requires infer_texts, infer_images or infer_all_dir")
     all_embeds = np.concatenate(embeds_parts)
+
+    if cfg.get("infer_ann_json_update", False) and cfg.get("infer_ann_json", ""):
+        # Insert newly-inferred samples into the annotation JSON skeleton so
+        # the infer -> annotate -> format_preds loop stays closed (ref
+        # train.py:2522-2553). Annotation keys match format_preds' lookup:
+        # raw text for texts, basename for image paths.
+        ann_samples = ([t for t in cfg.infer_texts]
+                       + [os.path.basename(p) for p in image_paths])
+        load_sample_annotations(cfg, cfg.infer_ann_json,
+                                update_samples=ann_samples)
 
     guide_list = None
     if cfg.guide_targets_file:

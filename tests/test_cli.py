@@ -111,6 +111,60 @@ def test_cli_full_pipeline(workdir):
               f"annotations_paths=[{ann_path}]", f"format_mode={mode}"] + args)
 
 
+def test_cli_infer_ann_json_update(workdir):
+    """infer with infer_ann_json_update inserts un-annotated samples into the
+    annotation JSON skeleton (existing entries preserved, new ones empty per
+    category, file sorted), then annotate-stub -> format_preds round-trips
+    (ref train.py:2522-2553, :4197-4230)."""
+    args = common_args(workdir)
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    ckpt = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))[-1]
+    ann_path = f"{workdir}/ann_update.json"
+    existing = {"a photo of a dog": {"correct_primary": ["dog"],
+                                     "close_primary": []}}
+    with open(ann_path, "w") as f:
+        json.dump(existing, f)
+
+    preds_path = f"{workdir}/preds_ann.json"
+    out = main(["action=infer", f"load_model={ckpt}", "gencfg=greedy_k1_vnone_gn_t1_a0",
+                "infer_texts=[a photo of a dog, a photo of a cat, an apple photo]",
+                f"predictions_path={preds_path}", f"infer_ann_json={ann_path}",
+                "infer_ann_json_update=true"] + model_args + args)
+
+    with open(ann_path) as f:
+        ann = json.load(f)
+    # Existing entry untouched, new samples inserted with empty skeletons of
+    # the existing categories, keys sorted
+    assert ann["a photo of a dog"] == existing["a photo of a dog"]
+    assert ann["a photo of a cat"] == {"correct_primary": [], "close_primary": []}
+    assert ann["an apple photo"] == {"correct_primary": [], "close_primary": []}
+    assert list(ann) == sorted(ann)
+
+    # Re-running is idempotent (no new samples => no rewrite needed)
+    before = open(ann_path).read()
+    main(["action=infer", f"load_model={ckpt}", "gencfg=greedy_k1_vnone_gn_t1_a0",
+          "infer_texts=[a photo of a dog, a photo of a cat, an apple photo]",
+          f"predictions_path={preds_path}", f"infer_ann_json={ann_path}",
+          "infer_ann_json_update=true"] + model_args + args)
+    assert open(ann_path).read() == before
+
+    # Annotate-stub: fill one new sample's category, then format_preds scores it
+    model_name = list(out["models"])[0]
+    g = list(out["models"][model_name]["gencfgs"])[0]
+    preds = out["models"][model_name]["gencfgs"][g]["pred"]
+    cat_pred = preds[1][0]  # top-1 for 'a photo of a cat'
+    ann["a photo of a cat"]["correct_primary"] = [cat_pred]
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    grid = main(["action=format_preds", f"predictions_path={preds_path}",
+                 f"annotations_paths=[{ann_path}]", "format_mode=model_max_v1"] + args)
+    (label_data,) = [grid[gn] for gn in grid if g == gn]
+    scores, counters = next(iter(label_data.values()))
+    # dog scored via existing annotation iff predicted 'dog'; cat via the stub
+    assert counters[0]["correct_primary"] >= 1
+
+
 def test_cli_format_metrics(workdir):
     rows = main(["action=format_metrics"] + common_args(workdir))
     assert isinstance(rows, list) and rows  # train runs above wrote metrics.jsonl
