@@ -293,6 +293,18 @@ class JaxEmbedder(Embedder):
                 "SentencePiece .model asset not available (set NOVIC_SIGLIP_SPM or "
                 "pass bpe_merges_path) => falling back to the word-level test "
                 "tokenizer; text embeddings will NOT match released checkpoints")
+        elif arch.tokenizer == "wordpiece":
+            # CLIPA: BERT-uncased WordPiece vocab.txt (ref embedders.py:617-645
+            # via open_clip HFTokenizer('bert-base-uncased', strip_sep_token))
+            path = bpe_merges_path or os.environ.get("NOVIC_BERT_VOCAB", "")
+            if path and os.path.isfile(path):
+                from novic_tpu.text.wordpiece import BertWordPieceTokenizer
+
+                return BertWordPieceTokenizer(path, context_length=arch.text.context_length)
+            log.warning(
+                "BERT WordPiece vocab.txt asset not available (set NOVIC_BERT_VOCAB "
+                "or pass bpe_merges_path) => falling back to the word-level test "
+                "tokenizer; text embeddings will NOT match released checkpoints")
         return SimpleWordTokenizer(words=(), context_length=arch.text.context_length)
 
     # -- model lifecycle -------------------------------------------------------

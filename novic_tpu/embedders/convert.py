@@ -233,6 +233,29 @@ def convert_openclip_clip_text(state_dict: dict, num_layers: int) -> dict:
     return params
 
 
+def convert_openclip_clipa_vision(state_dict: dict, num_layers: int) -> dict:
+    """open_clip CLIPA visual tower → VisionTransformer(pool='avg') params.
+
+    Identical naming to the stock open_clip CLIP tower except there is no
+    ln_pre (no_ln_pre=true makes it an Identity, so no weights exist); the
+    avg-pool/final-ln-after-pool differences are forward-pass-only.
+    """
+    sd = state_dict
+    conv_w = _np(sd["visual.conv1.weight"])  # (E,3,P,P)
+    E = conv_w.shape[0]
+    params = {
+        "patch_weight": conv_w.transpose(0, 2, 3, 1).reshape(E, -1),
+        "class_embedding": _np(sd["visual.class_embedding"]).reshape(-1),
+        "pos_embedding": _np(sd["visual.positional_embedding"]),
+        "post_ln_weight": _np(sd["visual.ln_post.weight"]),
+        "post_ln_bias": _np(sd["visual.ln_post.bias"]),
+        "proj_weight": _np(sd["visual.proj"]).T,
+    }
+    for i in range(num_layers):
+        params[f"blocks_{i}"] = _openclip_block(sd, f"visual.transformer.resblocks.{i}")
+    return params
+
+
 def _timm_block(sd: dict, prefix: str) -> dict:
     """timm ViT block (used by open_clip SigLIP visual trunks) → TowerBlock."""
     qkv_w = _np(sd[f"{prefix}.attn.qkv.weight"])
@@ -301,6 +324,11 @@ def convert_openclip_state_dict(state_dict: dict, family: str,
     """Full open_clip checkpoint → (vision_params, text_params)."""
     if family == "clip":
         return (convert_openclip_clip_vision(state_dict, num_vision_layers),
+                convert_openclip_clip_text(state_dict, num_text_layers))
+    if family == "clipa":
+        # CLIPA text towers use the stock open_clip naming (the non-causal
+        # mask / last pooling are forward-pass differences only)
+        return (convert_openclip_clipa_vision(state_dict, num_vision_layers),
                 convert_openclip_clip_text(state_dict, num_text_layers))
     if family == "siglip":
         vision = convert_openclip_siglip_vision(state_dict, num_vision_layers)

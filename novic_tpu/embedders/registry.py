@@ -27,8 +27,8 @@ class EmbedderArch:
     vision: VisionTowerConfig
     text: TextTowerConfig
     preprocess: PreprocessConfig
-    tokenizer: str       # clip_bpe | sentencepiece | hf:<id>
-    family: str          # clip | siglip
+    tokenizer: str       # clip_bpe | sentencepiece | wordpiece
+    family: str          # clip | siglip | clipa
 
 
 def _clip(image_size, patch, v_width, v_layers, v_heads, t_width, t_layers, t_heads,
@@ -68,6 +68,28 @@ def _siglip(image_size, patch, width, layers, heads, mlp_dim, embed_dim,
     )
 
 
+def _clipa(v_width, v_layers, v_heads, t_width, t_layers, t_heads, embed_dim,
+           image_size=224, patch=14, context=32, vocab=32000, v_mlp_ratio=4.0):
+    """CLIPA-v2 tower config (open_clip ViT-*-CLIPA model configs): standard
+    ViT trunk geometry, but no ln_pre, avg pooling over patch tokens with the
+    final LN after pooling, non-causal text with last-token pooling over a
+    BERT-uncased WordPiece vocab at context 32."""
+    return EmbedderArch(
+        vision=VisionTowerConfig(image_size=image_size, patch_size=patch, width=v_width,
+                                 layers=v_layers, heads=v_heads, embed_dim=embed_dim,
+                                 act="gelu", mlp_ratio=v_mlp_ratio,
+                                 use_class_token=True, patch_bias=False,
+                                 pre_ln=False, pool="avg"),
+        text=TextTowerConfig(context_length=context, vocab_size=vocab, width=t_width,
+                             layers=t_layers, heads=t_heads, embed_dim=embed_dim,
+                             act="gelu", causal=False, pool="last", proj_bias=False),
+        preprocess=PreprocessConfig(size=image_size, resize_mode="shortest",
+                                    mean=CLIP_MEAN, std=CLIP_STD),
+        tokenizer="wordpiece",
+        family="clipa",
+    )
+
+
 REGISTRY: dict[str, EmbedderArch] = {
     # OpenAI CLIP (ref embedders.py:442-452 EMBED_DIM table)
     "openai:ViT-B/32": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512),
@@ -98,6 +120,17 @@ REGISTRY: dict[str, EmbedderArch] = {
     "openclip:laion/CLIP-ViT-g-14-laion2B-s34B-b88K": _clip(224, 14, 1408, 40, 16, 1024, 24, 16, 1024, act="gelu", v_mlp_ratio=6144 / 1408),
     "openclip:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k": _clip(224, 14, 1664, 48, 16, 1280, 32, 20, 1280, act="gelu", v_mlp_ratio=8192 / 1664),
     "transformers:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k": _clip(224, 14, 1664, 48, 16, 1280, 32, 20, 1280, act="gelu", v_mlp_ratio=8192 / 1664),
+    # CLIPA-v2 (ref config/train.yaml:107,113,117): plain pre-LN ViT trunks
+    # with three config-level quirks vs stock CLIP (open_clip model_configs
+    # ViT-{L,H,bigG}-14-CLIPA.json): no ln_pre, avg-pool over patch tokens
+    # with final LN AFTER pooling, and a non-causal text tower (context 32,
+    # BERT-uncased WordPiece vocab, strip-SEP => end=pad, last-token pool).
+    "openclip:rwightman/ViT-L-14-CLIPA-datacomp1B": _clipa(
+        1024, 24, 16, 768, 12, 12, 768),
+    "openclip:rwightman/ViT-H-14-CLIPA-datacomp1B": _clipa(
+        1280, 32, 16, 1024, 24, 16, 1024),
+    "openclip:rwightman/ViT-bigG-14-CLIPA-datacomp1B": _clipa(
+        1664, 48, 16, 1280, 32, 20, 1280, v_mlp_ratio=8192 / 1664),
     # MetaCLIP (quick_gelu; tokenizer quirk handled as in ref embedders.py:800)
     "transformers:facebook/metaclip-h14-fullcc2.5b": _clip(224, 14, 1280, 32, 16, 1024, 24, 16, 1024),
     # OpenAI CLIP via the transformers backend
@@ -105,9 +138,9 @@ REGISTRY: dict[str, EmbedderArch] = {
     "transformers:openai/clip-vit-base-patch16": _clip(224, 16, 768, 12, 12, 512, 12, 8, 512),
     "transformers:openai/clip-vit-large-patch14": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768),
     # NOT registered (materially different block structures — would need their
-    # own tower code, not a config): EVA02 (rotary pos + SwiGLU), CLIPA
-    # (rwightman/*-CLIPA-*), ALIGN (EfficientNet+BERT). lookup() rejects them
-    # loudly rather than building a silently-wrong tower.
+    # own tower code, not a config): EVA02 (rotary pos + SwiGLU), ALIGN
+    # (EfficientNet+BERT). lookup() rejects them loudly rather than building
+    # a silently-wrong tower.
 }
 
 

@@ -303,6 +303,19 @@ class VisionTransformer(nn.Module):
             proj_b = (self.param("proj_bias", nn.initializers.zeros, (cfg.embed_dim,))
                       if cfg.proj_bias else None)
             return tower_dense(pooled, proj_w, proj_b, "float32")
+        elif cfg.pool == "avg":
+            # CLIPA: global-average pool over PATCH tokens (class token kept in
+            # the sequence but excluded from the mean), final LN applied AFTER
+            # pooling (open_clip VisionTransformer pool_type='avg' +
+            # final_ln_after_pool=true, the CLIPA model-config combination)
+            tokens = x[:, 1:, :] if cfg.use_class_token else x
+            pooled = jnp.mean(tokens.astype(jnp.float32), axis=1)
+            pooled = f32_layer_norm(pooled, postw, postb, cfg.layer_norm_eps)
+            proj_w = self.param("proj_weight", nn.initializers.normal(stddev=E ** -0.5),
+                                (cfg.embed_dim, E))
+            proj_b = (self.param("proj_bias", nn.initializers.zeros, (cfg.embed_dim,))
+                      if cfg.proj_bias else None)
+            return tower_dense(pooled, proj_w, proj_b, "float32")
         elif cfg.pool == "map":
             # SigLIP: post-LN over all tokens, then MAP attention-pooling head
             x = f32_layer_norm(x, postw, postb, cfg.layer_norm_eps)
