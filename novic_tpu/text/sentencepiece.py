@@ -5,15 +5,20 @@ The reference tokenizes SigLIP text through open_clip's SigLipTokenizer
 SentencePiece unigram model. This module implements the three pieces natively:
 
 * a minimal protobuf wire-format parser for the serialized ``ModelProto``
-  (.model file) — pieces with scores/types plus the special-token ids,
-* unigram Viterbi segmentation with unknown-token and byte-fallback handling,
+  (.model file) — pieces with scores/types, special-token ids, AND the
+  NormalizerSpec's precompiled charsmap,
+* a :class:`PrecompiledCharsmap` reader (darts-clone double-array trie +
+  replacement pool) implementing the exact normalization real .model assets
+  carry (nmt_nfkc etc.), with sentencepiece C++ longest-match semantics,
+* unigram Viterbi segmentation with unknown-token fusing and byte-fallback,
 * a :class:`SentencePieceTokenizer` adapter to the framework's TextTokenizer
   interface (SigLIP canonicalization: lowercase, strip punctuation, collapse
   whitespace — matching open_clip's ``canonicalize_text``).
 
-Caveat: mechanics follow the sentencepiece unigram spec; exact parity against
-the released SigLIP .model asset is validated in round 2 when assets are
-available (tests cover synthetic models built with :func:`build_model_proto`).
+Parity is CI-enforced against the production Rust implementation (HF
+``tokenizers``: normalizers.Precompiled + models.Unigram — the same code HF
+uses to replicate sentencepiece) in tests/test_sentencepiece.py, and against
+the official ``sentencepiece`` package when importable.
 """
 
 from __future__ import annotations
@@ -90,6 +95,7 @@ class SentencePieceModel:
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
+    precompiled_charsmap: bytes = b""     # NormalizerSpec.precompiled_charsmap
     piece_to_id: dict = field(default_factory=dict)
     max_piece_len: int = 1
     byte_fallback: bool = False
@@ -137,9 +143,11 @@ def parse_model_proto(data: bytes) -> SentencePieceModel:
                     kw["pad_id"] = _zigzag_signed(v2)
         elif fnum == 3 and wtype == 2:  # NormalizerSpec
             for f2, w2, v2 in _scan_fields(val):
-                if w2 != 0:
+                if f2 == 2 and w2 == 2:
+                    kw["precompiled_charsmap"] = v2
+                elif w2 != 0:
                     continue
-                if f2 == 3:
+                elif f2 == 3:
                     kw["add_dummy_prefix"] = bool(v2)
                 elif f2 == 4:
                     kw["remove_extra_whitespaces"] = bool(v2)
@@ -170,7 +178,8 @@ def _emit_varint(v: int) -> bytes:
 
 def build_model_proto(pieces: list[tuple[str, float, int]], *, unk_id: int = 0,
                       bos_id: int = -1, eos_id: int = 1, pad_id: int = -1,
-                      add_dummy_prefix: bool = True) -> bytes:
+                      add_dummy_prefix: bool = True,
+                      precompiled_charsmap: bytes = b"") -> bytes:
     """Serialize a minimal ModelProto — for tests and asset-free setups."""
     out = bytearray()
     for piece, score, ptype in pieces:
@@ -185,9 +194,162 @@ def build_model_proto(pieces: list[tuple[str, float, int]], *, unk_id: int = 0,
         ts += _emit_varint((fnum << 3) | 0) + _emit_varint(v)
     out += _emit_varint((2 << 3) | 2) + _emit_varint(len(ts)) + bytes(ts)
     ns = bytearray()
+    if precompiled_charsmap:
+        ns += (_emit_varint((2 << 3) | 2) + _emit_varint(len(precompiled_charsmap))
+               + precompiled_charsmap)
     ns += _emit_varint((3 << 3) | 0) + _emit_varint(int(add_dummy_prefix))
     out += _emit_varint((3 << 3) | 2) + _emit_varint(len(ns)) + bytes(ns)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Precompiled charsmap (NormalizerSpec.precompiled_charsmap)
+# ---------------------------------------------------------------------------
+#
+# Layout (sentencepiece normalizer.cc DecodePrecompiledCharsMap):
+#   [trie_size: u32 LE][darts-clone double-array: trie_size bytes][pool bytes]
+# Each trie key is a source byte sequence; its value is a byte offset into the
+# pool where the NUL-terminated replacement lives. darts-clone unit packing:
+#   label   = unit & 0x800000FF  (low 8 bits; bit31 marks leaf-value units)
+#   hasLeaf = (unit >> 8) & 1
+#   offset  = (unit >> 10) << ((unit & 0x200) >> 6)
+
+
+def _utf8_char_len(first_byte: int) -> int:
+    if first_byte < 0x80:
+        return 1
+    if first_byte < 0xE0:
+        return 2
+    if first_byte < 0xF0:
+        return 3
+    return 4
+
+
+class PrecompiledCharsmap:
+    """Reader for the precompiled normalization trie inside .model assets.
+
+    Implements the sentencepiece C++ semantics (normalizer.cc
+    NormalizePrefix/Normalize): greedy longest trie match from each position,
+    unmatched UTF-8 chars copied through unchanged. Parity vs the production
+    Rust implementation (HF tokenizers' normalizers.Precompiled, the same
+    spm_precompiled format) is pinned in tests/test_sentencepiece.py.
+    """
+
+    def __init__(self, blob: bytes):
+        if len(blob) < 4:
+            raise ValueError("Precompiled charsmap blob too short")
+        (trie_size,) = struct.unpack("<I", blob[:4])
+        if 4 + trie_size > len(blob) or trie_size % 4:
+            raise ValueError("Precompiled charsmap trie size is inconsistent")
+        self.units = np.frombuffer(blob[4:4 + trie_size], dtype="<u4")
+        self.pool = blob[4 + trie_size:]
+
+    @staticmethod
+    def _offset(unit: int) -> int:
+        return (unit >> 10) << ((unit & 0x200) >> 6)
+
+    def common_prefix_search(self, key: bytes) -> list[tuple[int, int]]:
+        """darts-clone commonPrefixSearch → [(matched_len, value)] ascending."""
+        results: list[tuple[int, int]] = []
+        units = self.units
+        n = len(units)
+        if n == 0:
+            return results
+        pos = self._offset(int(units[0]))
+        for i, c in enumerate(key):
+            pos ^= c
+            if pos >= n:
+                break
+            unit = int(units[pos])
+            if (unit & 0x800000FF) != c:
+                break
+            pos ^= self._offset(unit)
+            if (unit >> 8) & 1:  # hasLeaf
+                results.append((i + 1, int(units[pos]) & 0x7FFFFFFF))
+        return results
+
+    def normalize_prefix(self, data: bytes) -> tuple[Optional[bytes], int]:
+        """Longest-match replacement for a prefix of data (None = no match)."""
+        results = self.common_prefix_search(data)
+        if not results:
+            return None, 0
+        length, value = results[-1]  # longest match (ref normalizer.cc)
+        end = self.pool.find(b"\0", value)
+        if end < 0:
+            raise ValueError("Charsmap pool entry is not NUL-terminated")
+        return self.pool[value:end], length
+
+    def transform(self, text: str) -> str:
+        data = text.encode("utf-8")
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            rep, ln = self.normalize_prefix(data[i:])
+            if rep is None:
+                ln = min(_utf8_char_len(data[i]), len(data) - i)
+                out += data[i:i + ln]
+            else:
+                out += rep
+            i += ln
+        return out.decode("utf-8", errors="replace")
+
+
+def build_precompiled_charsmap(mapping: dict[str, str]) -> bytes:
+    """Serialize {source: replacement} into the precompiled charsmap format
+    (a darts-clone double-array + NUL-terminated replacement pool) — for
+    tests and asset-free setups; real assets ship their own blob."""
+    pool = bytearray()
+    keys: list[tuple[bytes, int]] = []
+    for src, dst in mapping.items():
+        sb = src.encode("utf-8")
+        if not sb or 0 in sb:
+            raise ValueError(f"Invalid charsmap source: {src!r}")
+        keys.append((sb, len(pool)))
+        pool += dst.encode("utf-8") + b"\0"
+
+    TERM = -1
+    root: dict = {}
+    for key, value in keys:
+        node = root
+        for b in key:
+            node = node.setdefault(b, {})
+        node[TERM] = value
+
+    units: dict[int, int] = {}
+    used = {0}
+
+    def place(node: dict, pos: int) -> None:
+        labels = sorted(c for c in node if c != TERM)
+        has_term = TERM in node
+        o = 1
+        while True:
+            r = pos ^ o
+            ok = not (has_term and r in used)
+            if ok:
+                ok = all((r ^ c) not in used for c in labels)
+            if ok:
+                break
+            o += 1
+        if o >= 1 << 21:
+            raise ValueError("Charsmap trie too large for the simple builder")
+        r = pos ^ o
+        if has_term:
+            used.add(r)
+            units[r] = 0x80000000 | node[TERM]
+        for c in labels:
+            used.add(r ^ c)
+            units[r ^ c] = c
+        units[pos] = units.get(pos, 0) | (o << 10) | ((1 << 8) if has_term else 0)
+        for c in labels:
+            place(node[c], r ^ c)
+
+    place(root, 0)
+    size = max(units) + 1 if units else 1
+    arr = np.zeros(size, dtype="<u4")
+    for p, u in units.items():
+        arr[p] = u
+    trie = arr.tobytes()
+    return struct.pack("<I", len(trie)) + trie + bytes(pool)
 
 
 # ---------------------------------------------------------------------------
@@ -208,13 +370,24 @@ class SentencePieceProcessor:
             p: (i, float(model.scores[i])) for i, p in enumerate(model.pieces)
             if model.types[i] in (NORMAL, USER_DEFINED, BYTE)
         }
+        # Exact normalization from the model's own precompiled charsmap when
+        # present (real assets always carry one); NFKC approximation otherwise
+        self.charsmap = (PrecompiledCharsmap(model.precompiled_charsmap)
+                         if model.precompiled_charsmap else None)
 
     # -- normalization ------------------------------------------------------
 
     def normalize(self, text: str) -> str:
-        text = unicodedata.normalize("NFKC", text)
+        if self.charsmap is not None:
+            text = self.charsmap.transform(text)
+        else:
+            text = unicodedata.normalize("NFKC", text)
         if self.m.remove_extra_whitespaces:
             text = re.sub(r"\s+", " ", text).strip()
+        if not text:
+            # sentencepiece short-circuits empty (post-normalization) input:
+            # no dummy prefix, EncodeAsIds('') == []
+            return ""
         if self.m.add_dummy_prefix:
             text = " " + text
         if self.m.escape_whitespaces:
@@ -252,16 +425,26 @@ class SentencePieceProcessor:
                 back[j] = (i, -1)
         ids: list[int] = []
         pos = n
-        rev: list[int] = []
+        rev: list[tuple[object, bool]] = []  # (ids | id, is_unknown)
         while pos > 0:
             prev, pid = back[pos]
-            rev.append(pid if pid >= 0 else self._unk_or_bytes(s[prev:pos]))
+            if pid >= 0:
+                rev.append((pid, False))
+            else:
+                fallback = self._unk_or_bytes(s[prev:pos])
+                rev.append((fallback, not isinstance(fallback, list)))
             pos = prev
-        for pid in reversed(rev):
+        prev_unk = False
+        for pid, is_unk in reversed(rev):
             if isinstance(pid, list):
                 ids.extend(pid)
+            elif is_unk and prev_unk:
+                # sentencepiece fuses consecutive unknown chars into ONE <unk>
+                # (the behavior HF tokenizers replicates with fuse_unk=True)
+                pass
             else:
                 ids.append(pid)
+            prev_unk = is_unk
         if out_pieces:
             return [self.m.pieces[i] for i in ids]
         return ids

@@ -6,8 +6,9 @@ import numpy as np
 import pytest
 
 from novic_tpu.text.sentencepiece import (
-    BYTE, CONTROL, NORMAL, UNKNOWN, SentencePieceProcessor, SentencePieceTokenizer,
-    build_model_proto, canonicalize_text, parse_model_proto)
+    BYTE, CONTROL, NORMAL, UNKNOWN, PrecompiledCharsmap, SentencePieceProcessor,
+    SentencePieceTokenizer, build_model_proto, build_precompiled_charsmap,
+    canonicalize_text, parse_model_proto)
 
 
 def make_model(extra=(), **kw):
@@ -114,11 +115,9 @@ def test_tokenizer_truncation():
 
 def test_pkg_parity_viterbi_and_normalization():
     """Parity of the native unigram encoder vs the official sentencepiece
-    package over NFKC-sensitive and multi-space inputs (ADVICE r1: exact
-    parity with real .model assets requires the precompiled charsmap — when
-    the package is importable the tokenizer defers to it; this test pins the
-    native encoder to the package on a shared model)."""
-    spm = pytest.importorskip("sentencepiece")
+    package over NFKC-sensitive and multi-space inputs — and, when the
+    package is not installed, vs the HF tokenizers Rust pipeline (the
+    production sentencepiece replication), so the check always runs."""
     data = build_model_proto([
         ("<pad>", 0.0, CONTROL), ("<unk>", 0.0, UNKNOWN), ("</s>", 0.0, CONTROL),
         ("▁", -3.0, NORMAL), ("▁a", -1.0, NORMAL), ("a", -2.0, NORMAL),
@@ -126,11 +125,123 @@ def test_pkg_parity_viterbi_and_normalization():
         ("▁abc", -1.2, NORMAL), ("ﬁ", -4.0, NORMAL), ("f", -2.8, NORMAL),
         ("i", -2.9, NORMAL),
     ], unk_id=1, eos_id=2, pad_id=0)
-    pkg = spm.SentencePieceProcessor()
-    pkg.LoadFromSerializedProto(data)
     native = SentencePieceTokenizer(data, context_length=16, canonicalize=False,
                                     prefer_native=True)
-    cases = ["abc", "ab c", "  ab   c  ", "a b", "ﬁb",  # NFKC: ﬁ → fi
-             "ABC", "abc abc abc", "", " "]
+    try:
+        import sentencepiece as spm
+
+        pkg = spm.SentencePieceProcessor()
+        pkg.LoadFromSerializedProto(data)
+        encode_ref = lambda t: list(pkg.EncodeAsIds(t))  # noqa: E731
+        cases = ["abc", "ab c", "  ab   c  ", "a b", "ﬁb",  # NFKC: fi-lig
+                 "ABC", "abc abc abc", "", " "]
+    except ImportError:
+        encode_ref = _hf_unigram_encoder(
+            [("<pad>", 0.0), ("<unk>", 0.0), ("</s>", 0.0), ("▁", -3.0),
+             ("▁a", -1.0), ("a", -2.0), ("b", -2.5), ("▁ab", -1.5),
+             ("c", -2.2), ("▁abc", -1.2), ("ﬁ", -4.0), ("f", -2.8),
+             ("i", -2.9)], unk_id=1)
+        # The Rust pipeline approximates remove_extra_whitespaces with a
+        # collapse-only Replace (no strip): compare on clean strings; the
+        # strip/multi-space cases are pinned natively above.
+        cases = ["abc", "ab c", "a b", "ABC", "abc abc abc", ""]
     for text in cases:
-        assert native.encode(text) == list(pkg.EncodeAsIds(text)), text
+        assert native.encode(text) == encode_ref(text), text
+
+
+def _hf_unigram_encoder(vocab, unk_id, charsmap: bytes = b""):
+    """Build the HF tokenizers Rust pipeline the way its SpmConverter
+    replicates sentencepiece: [Precompiled +] whitespace collapse +
+    Metaspace(prepend always) + Unigram."""
+    from tokenizers import Regex, Tokenizer, models, normalizers, pre_tokenizers
+
+    tok = Tokenizer(models.Unigram(vocab, unk_id=unk_id))
+    norms = []
+    if charsmap:
+        norms.append(normalizers.Precompiled(charsmap))
+    norms.append(normalizers.Replace(Regex(" {2,}"), " "))
+    tok.normalizer = normalizers.Sequence(norms)
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁",
+                                                 prepend_scheme="always")
+    return lambda text: tok.encode(text).ids
+
+
+def test_charsmap_parity_vs_rust_tokenizers():
+    """Native PrecompiledCharsmap == HF tokenizers' normalizers.Precompiled
+    (the production Rust spm_precompiled implementation) on a synthetic
+    charsmap serialized in the sentencepiece blob format."""
+    tokenizers = pytest.importorskip("tokenizers")
+
+    mapping = {
+        "ﬁ": "fi", "ﬂ": "fl",              # NFKC ligatures
+        "Ⅸ": "IX", "①": "1", "…": "...",  # 1-to-many expansions
+        "ｅ": "e", "ｘ": "x",                # fullwidth folds
+        "á": "á",                         # multi-codepoint source
+        " ": " ",                               # nbsp -> space
+        "€": "EUR",                             # multi-byte -> multi-char
+    }
+    blob = build_precompiled_charsmap(mapping)
+    ours = PrecompiledCharsmap(blob)
+    rust = tokenizers.normalizers.Precompiled(blob)
+
+    cases = ["ﬁnal ﬂow", "Ⅸ①…", "ｅｘample",
+             "á b", "a b", "price: 12€", "plain ascii", "",
+             "ﬁﬁﬁ", "mixｅd ﬁ①",
+             "unmapped ü ö 漢字"]
+    for text in cases:
+        assert ours.transform(text) == rust.normalize_str(text), text
+
+
+def test_charsmap_longest_match_and_pool():
+    """Longest-match semantics (ref sentencepiece normalizer.cc): a key that
+    extends another key wins when both match."""
+    blob = build_precompiled_charsmap({"a": "X", "abc": "Y", "ab": "Z"})
+    cm = PrecompiledCharsmap(blob)
+    assert cm.transform("abc") == "Y"
+    assert cm.transform("ab") == "Z"
+    assert cm.transform("a") == "X"
+    assert cm.transform("abd") == "Zd"
+    assert cm.transform("zabcz") == "zYz"
+    # common_prefix_search returns ascending match lengths
+    lengths = [ln for ln, _ in cm.common_prefix_search(b"abc")]
+    assert lengths == [1, 2, 3]
+
+
+def test_charsmap_flows_from_model_proto():
+    """A .model carrying a precompiled charsmap normalizes through it (exact
+    normalization, not the NFKC approximation)."""
+    charsmap = build_precompiled_charsmap({"Œ": "OE"})
+    data = build_model_proto([
+        ("<pad>", 0.0, CONTROL), ("<unk>", 0.0, UNKNOWN), ("</s>", 0.0, CONTROL),
+        ("▁", -3.0, NORMAL), ("O", -1.0, NORMAL), ("E", -1.0, NORMAL),
+        ("▁OE", -0.5, NORMAL),
+    ], unk_id=1, eos_id=2, pad_id=0, precompiled_charsmap=charsmap)
+    model = parse_model_proto(data)
+    assert model.precompiled_charsmap == charsmap
+    sp = SentencePieceProcessor(model)
+    # The OE ligature is NOT an NFKC mapping (NFKC keeps it); only the
+    # charsmap folds it
+    assert sp.encode("Œ", out_pieces=True) == ["▁OE"]
+
+
+def test_unigram_end_to_end_parity_vs_rust_tokenizers():
+    """Native encode == the HF tokenizers Rust Unigram pipeline (charsmap
+    normalization + Metaspace + Viterbi + fused unknowns) on shared assets."""
+    pytest.importorskip("tokenizers")
+
+    charsmap = build_precompiled_charsmap({"ﬁ": "fi", "①": "1"})
+    vocab = [("<pad>", 0.0), ("<unk>", 0.0), ("</s>", 0.0), ("▁", -3.0),
+             ("▁a", -1.0), ("a", -2.0), ("b", -2.5), ("▁ab", -1.5),
+             ("c", -2.2), ("▁abc", -1.2), ("f", -2.8), ("i", -2.9),
+             ("▁1", -2.0), ("1", -2.4)]
+    data = build_model_proto(
+        [(p, s, UNKNOWN if p == "<unk>" else CONTROL if p in ("<pad>", "</s>")
+          else NORMAL) for p, s in vocab],
+        unk_id=1, eos_id=2, pad_id=0, precompiled_charsmap=charsmap)
+    native = SentencePieceTokenizer(data, context_length=32, canonicalize=False,
+                                    prefer_native=True)
+    encode_ref = _hf_unigram_encoder(vocab, unk_id=1, charsmap=charsmap)
+    cases = ["abc", "ﬁb", "① abc", "a b c", "abc abc", "axxb",
+             "x", "ﬁﬁ", "cab", "abca"]
+    for text in cases:
+        assert native.encode(text) == encode_ref(text), text
