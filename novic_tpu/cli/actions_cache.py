@@ -55,6 +55,8 @@ def action_cache_noun_dataset(cfg):
     dataset = load_noun_dataset(cfg, embedder, use_cache=True)
     gen_target_config(cfg, embedder, dataset.targets)
     with dataset.loaded():
+        # Entering loaded() is the whole job: it builds (or re-reads) the noun
+        # cache file and runs its consistency check; nothing to iterate.
         pass
     log.info("Finished ensuring noun dataset is cached")
 

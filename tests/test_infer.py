@@ -169,3 +169,27 @@ def test_novic_model_mesh_batch_divisibility(trained_checkpoint):
         model.set_mesh(create_mesh(jax.devices()[:8]))
         with pytest.raises(ValueError, match="not divisible"):
             model.classify_embeds(base[:7])
+
+
+def test_peek_embedder_spec_missing_vs_corrupt(tmp_path):
+    """Corrupt checkpoints raise a descriptive error; checkpoints that merely
+    lack an embedder spec return None (VERDICT r2 weak #7)."""
+    import json
+
+    from novic_tpu.infer import NOVICModel
+
+    # Corrupt npz -> ValueError naming the file, not a generic spec demand
+    bad = tmp_path / "corrupt.npz"
+    bad.write_bytes(b"not an npz at all")
+    with pytest.raises(ValueError, match="unreadable or corrupt"):
+        NOVICModel._peek_embedder_spec(str(bad))
+
+    # Valid npz without an embedder key -> None (caller demands embedder_spec)
+    ok = tmp_path / "ok.npz"
+    meta = json.dumps({"cfg_flat": {"model": "prefixed_iter"}}).encode()
+    np.savez(ok, __meta__=np.frombuffer(meta, dtype=np.uint8))
+    assert NOVICModel._peek_embedder_spec(str(ok)) is None
+
+    # Missing path -> FileNotFoundError
+    with pytest.raises(FileNotFoundError):
+        NOVICModel._peek_embedder_spec(str(tmp_path / "nope.npz"))
