@@ -79,8 +79,11 @@ def cmd_labels(args) -> None:
     import PIL.Image
     import infer  # reference module
 
+    override = ({"embedder_spec": args.embedder_spec, "embedder": args.embedder_spec}
+                if getattr(args, "embedder_spec", None) else None)
     model = infer.NOVICModel(checkpoint=args.checkpoint, gencfg=args.gencfg,
-                             device="cpu", batch_size=args.batch_size)
+                             device="cpu", batch_size=args.batch_size,
+                             cfg_flat_override=override)
     paths = _load_texts(args.images_json)
     images = [PIL.Image.open(p).convert("RGB") for p in paths]
     with model:
@@ -187,6 +190,7 @@ def main() -> None:
     l.add_argument("--images-json", required=True)
     l.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     l.add_argument("--batch-size", type=int, default=16)
+    l.add_argument("--embedder-spec", default=None)
     l.add_argument("--out", required=True)
     le = sub.add_parser("labels_embeds")
     le.add_argument("--checkpoint", required=True)

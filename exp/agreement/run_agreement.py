@@ -494,12 +494,18 @@ def export_reference_model(our_ckpt: str) -> str:
 # ---------------------------------------------------------------------------
 
 def phase_labels(model_path: str, gencfg: str = GENCFG,
-                 result_name: str = "result_labels.json") -> dict:
+                 result_name: str = "result_labels.json",
+                 embedder_spec: Optional[str] = None) -> dict:
     images_json = os.path.join(WORK, "images.json")
     tag = gencfg.replace("/", "_")
     ref_out = os.path.join(WORK, f"ref_labels_{tag}.json")
-    run_ref(["labels", "--checkpoint", model_path, "--images-json", images_json,
-             "--gencfg", gencfg, "--out", ref_out])
+    ref_cmd = ["labels", "--checkpoint", model_path, "--images-json", images_json,
+               "--gencfg", gencfg, "--out", ref_out]
+    if embedder_spec:
+        # Released decoder checkpoints record openclip:* specs; both sides
+        # run the same HF-format weights through their transformers backends
+        ref_cmd += ["--embedder-spec", embedder_spec]
+    run_ref(ref_cmd)
 
     sys.path.insert(0, REPO)
     from novic_tpu.infer import NOVICModel
@@ -509,6 +515,7 @@ def phase_labels(model_path: str, gencfg: str = GENCFG,
     with open(images_json) as f:
         paths = json.load(f)
     model = NOVICModel(model_path, gencfg=gencfg, batch_size=16,
+                       embedder_spec=embedder_spec,
                        embedder_kwargs=dict(
                            weights_path=os.path.join(WORK, "towers.npz"),
                            bpe_merges_path=os.path.join(WORK, "merges.txt"),
