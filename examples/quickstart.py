@@ -20,6 +20,14 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # Some accelerator plugins append themselves to jax_platforms regardless
+    # of the env var; honor the caller's explicit CPU pin (CI runs this on
+    # the host while the accelerator is busy benchmarking)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from novic_tpu.data.cache import CacheExpectation, EmbeddingCache, EmbeddingCacheWriter
