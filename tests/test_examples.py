@@ -26,3 +26,8 @@ def test_multichip_dp_example():
     out = _run("multichip_dp.py")
     assert "mesh: 8 x cpu" in out
     assert "OK: replicated-params DP train + batch-sharded beam serving" in out
+
+
+def test_tp_serving_example():
+    out = _run("tp_serving.py")
+    assert "OK: tensor-parallel tower serving matches single-device numerics" in out
