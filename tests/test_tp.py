@@ -100,10 +100,18 @@ def test_tp_divisibility_validation():
 
 
 def test_tp_registered_towers_divisible():
-    """Every registered big tower splits evenly at TP-2/4/8 (heads+mlp)."""
+    """Every curated registry tower splits evenly at TP-2/4 (heads+mlp).
+
+    Skips dynamically-derived local-HF-dir entries (lookup() caches those
+    into REGISTRY; tests create tiny ones with 2-head text towers)."""
+    import os
+
     from novic_tpu.embedders.registry import REGISTRY
 
     for spec, arch in REGISTRY.items():
+        name = spec.split(":", 1)[1]
+        if os.path.isdir(name):
+            continue
         for n in (2, 4):
             validate_tp_divisibility(arch.vision, arch.text, axis_size=n)
         if arch.vision.heads % 8 == 0 and arch.vision.mlp_dim % 8 == 0:
