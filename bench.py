@@ -59,12 +59,13 @@ BACKBONE = os.environ.get("BENCH_BACKBONE", "")
 TOKLEN = int(os.environ.get("BENCH_TOKLEN", 0))
 WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
 
-# Per-backbone encode-only baselines: reference A6000 B=256 fp16-AMP image
-# embed rates (BASELINE.md rows 3-5; ref config/train.yaml:104,108,126)
+# Per-backbone baselines: reference A6000 fp16-AMP image embed rates (B=256)
+# and text embed rates (B=512, "Text Speed" column; cache-creation workload)
+# — BASELINE.md; ref config/train.yaml:104-126
 BACKBONES = {
-    "siglip_b16": ("openclip:timm/ViT-B-16-SigLIP", 1163.0),
-    "so400m": ("openclip:timm/ViT-SO400M-14-SigLIP", 300.0),
-    "dfn5b378": ("openclip:apple/DFN5B-CLIP-ViT-H-14-378", 56.2),
+    "siglip_b16": ("openclip:timm/ViT-B-16-SigLIP", 1163.0, 3450.0),
+    "so400m": ("openclip:timm/ViT-SO400M-14-SigLIP", 300.0, 3190.0),
+    "dfn5b378": ("openclip:apple/DFN5B-CLIP-ViT-H-14-378", 56.2, 1100.0),
 }
 
 
@@ -78,6 +79,56 @@ def timeit(pipeline, args, iters, inner, batch, warmup=None):
     return batch * iters * max(inner, 1) / elapsed
 
 
+def bench_text(name: str) -> dict:
+    """Text-embed (cache-creation) throughput for a registry backbone:
+    token ids -> text tower -> unit-norm embeds, B=512 like the reference's
+    'Text Speed' measurement (ref config/train.yaml table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from novic_tpu.embedders.registry import lookup
+    from novic_tpu.embedders.vit import TextTransformer
+
+    spec, _, a6000_txt_s = BACKBONES[name]
+    arch = lookup(spec)
+    tcfg = arch.text
+    batch = int(os.environ.get("BENCH_BATCH", 512))
+    inner = INNER
+
+    text = TextTransformer(cfg=tcfg)
+    t_params = jax.jit(text.init)({"params": jax.random.PRNGKey(0)},
+                                  jnp.zeros((1, tcfg.context_length), jnp.int32))["params"]
+
+    @jax.jit
+    def make_tokens(key):
+        return jax.random.randint(key, (batch, tcfg.context_length), 0,
+                                  tcfg.vocab_size, dtype=jnp.int32)
+
+    toks = make_tokens(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def pipeline(p, tok):
+        def body(i, acc):
+            t = jnp.where(tok + i < tcfg.vocab_size, tok + i, tok)  # vary input
+            feats = text.apply({"params": p}, t)
+            feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+            return acc + feats.sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
+
+    tps = timeit(pipeline, (t_params, toks), ITERS, inner, batch)
+    return {
+        "metric": f"text_embed_texts_per_sec_{name}",
+        "value": round(tps, 2),
+        "unit": "texts/s",
+        "vs_baseline": round(tps / a6000_txt_s, 3),
+        "extra": {"backbone": spec, "batch": batch,
+                  "context_length": tcfg.context_length,
+                  "a6000_baseline_texts_per_sec": a6000_txt_s,
+                  "v5e8_dp_projection_texts_per_sec": round(8 * tps, 1)},
+    }
+
+
 def bench_backbone(name: str) -> dict:
     """Encode-only throughput for a registry backbone (uint8 -> embeds)."""
     import jax
@@ -87,7 +138,7 @@ def bench_backbone(name: str) -> dict:
     from novic_tpu.embedders.registry import lookup
     from novic_tpu.embedders.vit import VisionTransformer
 
-    spec, a6000_img_s = BACKBONES[name]
+    spec, a6000_img_s, _ = BACKBONES[name]
     arch = lookup(spec)
     vcfg = arch.vision
     pcfg = arch.preprocess
@@ -152,7 +203,10 @@ def main():
     import jax.numpy as jnp
 
     if BACKBONE:
-        print(json.dumps(bench_backbone(BACKBONE)))
+        if os.environ.get("BENCH_TEXT", ""):
+            print(json.dumps(bench_text(BACKBONE)))
+        else:
+            print(json.dumps(bench_backbone(BACKBONE)))
         return
 
     from novic_tpu.embedders.preprocess import PreprocessConfig, preprocess_uint8_device
