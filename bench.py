@@ -7,7 +7,7 @@ PrefixedIterDecoder KV-cached beam/greedy decode — as ONE jitted computation
 per batch on the default JAX device (the real TPU chip under the driver).
 
 Modes (env vars):
-  BENCH_BACKBONE=siglip_b16|so400m|dfn5b378
+  BENCH_BACKBONE=siglip_b16|so400m|dfn5b378|clipa_h14
       Encode-only throughput for that backbone (uint8 frame -> on-device
       preprocess -> tower -> unit-norm embeds), like-for-like with the
       reference's per-backbone A6000 image-embed rows (BASELINE.md: 1163 /
@@ -66,6 +66,8 @@ BACKBONES = {
     "siglip_b16": ("openclip:timm/ViT-B-16-SigLIP", 1163.0, 3450.0),
     "so400m": ("openclip:timm/ViT-SO400M-14-SigLIP", 300.0, 3190.0),
     "dfn5b378": ("openclip:apple/DFN5B-CLIP-ViT-H-14-378", 56.2, 1100.0),
+    # CLIPA-v2 H/14 (registered round 3): ref yaml:113 — 193-192 id/s, 2.71 kid/s
+    "clipa_h14": ("openclip:rwightman/ViT-H-14-CLIPA-datacomp1B", 192.5, 2710.0),
 }
 
 
@@ -244,6 +246,16 @@ def main():
             raise SystemExit(f"BENCH_WEIGHTS embed_dim {dcfg.embed_dim} != tower "
                              f"{vcfg.embed_dim}")
     if TOKLEN:
+        if d_params_override is not None:
+            # Shrinking G against loaded params: pos_embedding is the only
+            # G-shaped parameter (max_seq_len = mlp_seq_len + token_length - 1)
+            if TOKLEN > dcfg.token_length:
+                raise SystemExit(f"BENCH_TOKLEN {TOKLEN} exceeds the checkpoint's "
+                                 f"token_length {dcfg.token_length}")
+            new_max = dcfg.mlp_seq_len + TOKLEN - 1
+            d_params_override = dict(d_params_override)
+            d_params_override["pos_embedding"] = \
+                np.asarray(d_params_override["pos_embedding"])[:new_max]
         dcfg = dcfg.replace(token_length=TOKLEN)
 
     vision = VisionTransformer(cfg=vcfg)

@@ -287,15 +287,15 @@ def run_ref(cmd: list[str]) -> None:
 
 
 def phase_tokens() -> dict:
+    """HF-reference tokenizer parity via the embedder's OWN tokenizer (so the
+    family the arch declares — CLIP BPE, SentencePiece, WordPiece — is the
+    one compared; the asset arrives through bpe_merges_path regardless)."""
     texts_json = os.path.join(WORK, "texts.json")
     out = os.path.join(WORK, "ref_tokens.json")
     run_ref(["tokens", "--hf-dir", os.path.join(WORK, "hf_model"),
              "--texts-json", texts_json, "--out", out])
 
-    sys.path.insert(0, REPO)
-    from novic_tpu.text.clip_bpe import CLIPBPETokenizer
-
-    tok = CLIPBPETokenizer(os.path.join(WORK, "merges.txt"), context_length=77)
+    tok = _our_embedder(load_model=False).tokenizer
     with open(texts_json) as f:
         texts = json.load(f)
     with open(out) as f:
@@ -323,7 +323,7 @@ def phase_tokens() -> dict:
 # Phase: embeds
 # ---------------------------------------------------------------------------
 
-def _our_embedder():
+def _our_embedder(load_model: bool = True):
     sys.path.insert(0, REPO)
     from novic_tpu.embedders.base import Embedder
 
@@ -331,7 +331,7 @@ def _our_embedder():
         "transformers:" + os.path.join(WORK, "hf_model"),
         weights_path=os.path.join(WORK, "towers.npz"),
         bpe_merges_path=os.path.join(WORK, "merges.txt"),
-        compute_dtype="float32", load_model=True)
+        compute_dtype="float32", load_model=load_model)
 
 
 def phase_embeds() -> dict:

@@ -226,10 +226,12 @@ def main() -> None:
                    help="merges.txt / sentencepiece .model / BERT vocab.txt")
     p.add_argument("--image_dir", help="photos to classify (default: reference demo)")
     p.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
+    import bench as _bench  # repo-root bench.py — single source of backbone keys
+
     p.add_argument("--bench", action="store_true",
                    help="also run the backbone bench (BENCH_BACKBONE mode)")
     p.add_argument("--bench_backbone", default="siglip_b16",
-                   choices=["siglip_b16", "so400m", "dfn5b378"])
+                   choices=sorted(_bench.BACKBONES))
     p.add_argument("--synthetic", action="store_true",
                    help="dry-run the whole flow on fabricated assets")
     args = p.parse_args()

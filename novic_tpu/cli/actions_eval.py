@@ -605,8 +605,9 @@ def load_sample_annotations(cfg, ann_json: str, image_dir: Optional[str] = None,
         return {}, {}
     if image_dir is not None and ann_json.startswith(IMAGEDIR_TAG):
         ann_json = image_dir + ann_json[len(IMAGEDIR_TAG):]
-    else:
-        ann_json = resolve_path(cfg, ann_json)
+    # The substituted path may still be cfg-relative (ref train.py:4209-4210
+    # resolves after tag substitution too)
+    ann_json = resolve_path(cfg, ann_json)
 
     with open(ann_json) as f:
         class_annotations = json.load(f)
