@@ -181,6 +181,7 @@ def action_train(cfg):
             loader_info=info, C=C, S=S, noise=noise, mean_shift=mean_shift,
             multi_first=dc.multi_first, beta1=cfg.beta1, beta2=cfg.beta2,
             weight_decay=cfg.weight_decay, weight_decay_1d=cfg.weight_decay_1d,
+            optimizer=cfg.optimizer, nesterov=cfg.nesterov,
             opt_state_arrays=opt_arrays, metrics=metrics, save_fn=save_fn, mesh=mesh)
     metrics.finish()
     log.info(f"Training finished: loss {ewa.loss:.4e}, top1 {ewa.top1:.3%} "

@@ -103,6 +103,8 @@ def train(
     beta2: float = 0.95,
     weight_decay: float = 0.1,
     weight_decay_1d: bool = False,
+    optimizer: str = "AdamW",
+    nesterov: bool = True,
     opt_state_arrays: Optional[Any] = None,   # resume: restored optimizer state
     metrics: Optional[MetricsLogger] = None,
     save_fn=None,                # callable(chunk_id, state, S) -> path, or None
@@ -112,7 +114,8 @@ def train(
     """Run the training loop; returns (final TrainState, TrainLoopState, EWA metrics)."""
     S = S or TrainLoopState()
     tx = create_optimizer(beta1=beta1, beta2=beta2, weight_decay=weight_decay,
-                          weight_decay_1d=weight_decay_1d, gradient_clip=C.gradient_clip)
+                          weight_decay_1d=weight_decay_1d, gradient_clip=C.gradient_clip,
+                          optimizer=optimizer, nesterov=nesterov)
     state = create_train_state(params, tx)
     if opt_state_arrays is not None:
         state = restore_opt_state(state, opt_state_arrays)

@@ -52,20 +52,101 @@ def lr_schedule_per_chunk(init_lr: float, final_lr: float, lr_scheduler: str,
     return schedule
 
 
+def adamp(learning_rate: float, *, b1: float = 0.9, b2: float = 0.95,
+          eps: float = 1e-8, weight_decay: float = 0.0, delta: float = 0.1,
+          wd_ratio: float = 0.1, nesterov: bool = True,
+          mask=None) -> optax.GradientTransformation:
+    """AdamP (Heo et al. 2021) — Adam whose update is projected onto the
+    tangent space of scale-invariant parameters (those followed by a
+    normalization), damping the norm-growth that inflates effective LR decay.
+
+    Transcribed from the published algorithm (the timm reference semantics
+    the reference selects with optimizer=AdamP, ref train.py:1121): per
+    parameter with ndim>1, try the channel view then the layer view; if the
+    |cosine| between grad and param rows maxes below delta/sqrt(row_size),
+    remove the radial component of the perturbation and scale weight decay
+    by wd_ratio. Weight decay multiplies the parameter by
+    (1 - lr*weight_decay*wd) BEFORE the -lr/bias1 * perturb step (timm order).
+    `mask`: decay applies only where mask(params) is True (AdamW-style split).
+    """
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params)}
+
+    def _project(p, g, pert):
+        def view_stats(view_rows):
+            pv = p.reshape(view_rows, -1)
+            gv = g.reshape(view_rows, -1)
+            p_norm = jnp.linalg.norm(pv, axis=1) + eps
+            g_norm = jnp.linalg.norm(gv, axis=1) + eps
+            cos = jnp.abs((pv * gv).sum(axis=1)) / p_norm / g_norm
+            cond = cos.max() < delta / math.sqrt(pv.shape[1])
+            p_n = (pv / p_norm[:, None]).reshape(p.shape)
+            radial = (p_n * pert).reshape(view_rows, -1).sum(axis=1)
+            expand = (view_rows,) + (1,) * (p.ndim - 1)
+            proj = pert - p_n * radial.reshape(expand)
+            return cond, proj
+
+        c_cond, c_proj = view_stats(p.shape[0])   # channel view
+        l_cond, l_proj = view_stats(1)            # layer view
+        pert_out = jnp.where(c_cond, c_proj, jnp.where(l_cond, l_proj, pert))
+        wd_out = jnp.where(c_cond | l_cond, wd_ratio, 1.0)
+        return pert_out, wd_out
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("adamp requires params")
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], grads)
+        bias1 = 1 - b1 ** count.astype(jnp.float32)
+        bias2 = 1 - b2 ** count.astype(jnp.float32)
+        decay_on = (mask(params) if mask is not None
+                    else jax.tree.map(lambda p: True, params))
+        lr = learning_rate
+
+        def leaf(p, g, m, v, decay_flag):
+            denom = jnp.sqrt(v) / jnp.sqrt(bias2) + eps
+            pert = ((b1 * m + (1 - b1) * g) / denom) if nesterov else m / denom
+            wd = jnp.asarray(1.0)
+            if p.ndim > 1:
+                pert, wd = _project(p, g, pert)
+            upd = -(lr / bias1) * pert
+            if decay_flag:  # static per-leaf mask; weight_decay may be traced
+                upd = upd - lr * weight_decay * wd * p
+            return upd
+
+        updates = jax.tree.map(leaf, params, grads, mu, nu, decay_on)
+        return updates, {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(*, beta1: float = 0.9, beta2: float = 0.95, eps: float = 1e-8,
                      weight_decay: float = 0.1, weight_decay_1d: bool = False,
-                     gradient_clip: float = 1.0) -> optax.GradientTransformation:
-    """AdamW taking the learning rate as an injected hyperparameter; gradient
-    clipping is done in the train step (so the pre-clip norm can be reported)."""
+                     gradient_clip: float = 1.0, optimizer: str = "AdamW",
+                     nesterov: bool = True) -> optax.GradientTransformation:
+    """AdamW / AdamP (ref train.py:1103-1165) taking the learning rate as an
+    injected hyperparameter; gradient clipping is done in the train step (so
+    the pre-clip norm can be reported)."""
 
     def decay_mask(params):
         if weight_decay_1d:
             return jax.tree.map(lambda p: True, params)
         return jax.tree.map(lambda p: p.ndim >= 2, params)
 
-    return optax.inject_hyperparams(optax.adamw)(
-        learning_rate=0.0, b1=beta1, b2=beta2, eps=eps,
-        weight_decay=weight_decay, mask=decay_mask)
+    name = optimizer.lower()
+    if name == "adamw":
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, mask=decay_mask)
+    if name == "adamp":
+        return optax.inject_hyperparams(adamp, static_args=("nesterov", "mask"))(
+            learning_rate=0.0, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, nesterov=nesterov, mask=decay_mask)
+    raise ValueError(f"Unsupported optimizer: {optimizer} (AdamW | AdamP)")
 
 
 def global_norm(tree) -> jnp.ndarray:

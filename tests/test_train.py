@@ -5,6 +5,7 @@ mesh; checkpoint save/load and reference-format interop round-trips.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -505,3 +506,128 @@ def test_reference_adamw_state_conversion(setup, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     for a, b in zip(jax.tree.leaves(adam.nu), jax.tree.leaves(expect_nu)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_adamp_matches_reference_algorithm():
+    """AdamP (ref train.py:1121 optimizer=AdamP) vs an explicit numpy
+    transcription of the published algorithm (timm semantics: Adam moments
+    with bias correction, nesterov perturbation, channel-then-layer
+    projection when max |cos(grad,param)| < delta/sqrt(row), weight decay
+    scaled by wd_ratio under projection and applied before the step)."""
+    import optax
+
+    from novic_tpu.train.optim import adamp
+
+    rng = np.random.default_rng(0)
+    # 2D scale-invariant-ish param (rows ~orthogonal to grads -> projection
+    # triggers), a generic 2D param with aligned grads (no projection), 1D
+    params = {
+        "w_si": rng.normal(size=(4, 8)).astype(np.float32),
+        "w": rng.normal(size=(3, 5)).astype(np.float32),
+        "b": rng.normal(size=(6,)).astype(np.float32),
+    }
+    grads_seq = []
+    for t in range(3):
+        g = {
+            # orthogonalize grads to the w_si rows to force the projection path
+            "w_si": rng.normal(size=(4, 8)).astype(np.float32),
+            "w": (params["w"] * 0.5 + 0.05 * rng.normal(size=(3, 5))).astype(np.float32),
+            "b": rng.normal(size=(6,)).astype(np.float32),
+        }
+        rows = params["w_si"] / np.linalg.norm(params["w_si"], axis=1, keepdims=True)
+        g["w_si"] -= rows * (rows * g["w_si"]).sum(axis=1, keepdims=True)
+        g["w_si"] = g["w_si"].astype(np.float32)
+        grads_seq.append(g)
+
+    LR, B1, B2, EPS, WD, DELTA, WDR = 0.01, 0.9, 0.95, 1e-8, 0.1, 0.1, 0.1
+
+    def ref_adamp(params, grads_seq, nesterov):
+        p = {k: v.astype(np.float64).copy() for k, v in params.items()}
+        m = {k: np.zeros_like(v) for k, v in p.items()}
+        v = {k: np.zeros_like(x) for k, x in p.items()}
+        for t, grads in enumerate(grads_seq, start=1):
+            for k, g in grads.items():
+                g = g.astype(np.float64)
+                m[k] = B1 * m[k] + (1 - B1) * g
+                v[k] = B2 * v[k] + (1 - B2) * g * g
+                bias1, bias2 = 1 - B1 ** t, 1 - B2 ** t
+                denom = np.sqrt(v[k]) / np.sqrt(bias2) + EPS
+                pert = ((B1 * m[k] + (1 - B1) * g) / denom if nesterov
+                        else m[k] / denom)
+                wd = 1.0
+                if p[k].ndim > 1:
+                    done = False
+                    for view_rows in (p[k].shape[0], 1):
+                        pv = p[k].reshape(view_rows, -1)
+                        gv = g.reshape(view_rows, -1)
+                        cos = np.abs((pv * gv).sum(1)) / (
+                            np.linalg.norm(pv, axis=1) + EPS) / (
+                            np.linalg.norm(gv, axis=1) + EPS)
+                        if cos.max() < DELTA / np.sqrt(pv.shape[1]):
+                            p_n = (pv / (np.linalg.norm(pv, axis=1, keepdims=True)
+                                         + EPS)).reshape(p[k].shape)
+                            radial = (p_n * pert).reshape(view_rows, -1).sum(1)
+                            pert = pert - p_n * radial.reshape(
+                                (view_rows,) + (1,) * (p[k].ndim - 1))
+                            wd = WDR
+                            done = True
+                            break
+                    del done
+                if p[k].ndim >= 2:  # decay mask: 2D+ only (AdamW-style split)
+                    p[k] *= 1 - LR * WD * wd
+                p[k] -= (LR / bias1) * pert
+        return p
+
+    for nesterov in (True, False):
+        tx = adamp(LR, b1=B1, b2=B2, eps=EPS, weight_decay=WD, nesterov=nesterov,
+                   mask=lambda ps: jax.tree.map(lambda x: x.ndim >= 2, ps))
+        state = tx.init(params)
+        p = {k: jnp.asarray(v) for k, v in params.items()}
+        for grads in grads_seq:
+            updates, state = tx.update(
+                {k: jnp.asarray(v) for k, v in grads.items()}, state, p)
+            p = optax.apply_updates(p, updates)
+        expect = ref_adamp(params, grads_seq, nesterov)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(p[k]), expect[k], rtol=2e-5,
+                                       atol=2e-6, err_msg=f"{k} nesterov={nesterov}")
+
+    # The projection genuinely triggered for w_si (its trajectory differs from
+    # plain AdamW under the same sequence)
+    tx_adamw = optax.adamw(LR, b1=B1, b2=B2, eps=EPS, weight_decay=WD,
+                           mask=lambda ps: jax.tree.map(lambda x: x.ndim >= 2, ps))
+    sw = tx_adamw.init(params)
+    pw = {k: jnp.asarray(v) for k, v in params.items()}
+    for grads in grads_seq:
+        up, sw = tx_adamw.update({k: jnp.asarray(v) for k, v in grads.items()}, sw, pw)
+        pw = optax.apply_updates(pw, up)
+    assert not np.allclose(np.asarray(pw["w_si"]), np.asarray(p["w_si"]), atol=1e-6)
+
+
+def test_train_loop_adamp_smoke():
+    """optimizer=AdamP trains through the CLI loop (loss decreases)."""
+    from novic_tpu.cli.train import main as cli_main
+
+    import glob
+    import json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        vocab = [{"id": i, "target_noun": n, "pretty_noun": n.capitalize(),
+                  "singulars": [n], "plurals": [n + "s"], "singulars_freq": [2],
+                  "plurals_freq": [1], "hypernyms": []}
+                 for i, n in enumerate(["dog", "cat", "apple", "tree"])]
+        with open(f"{d}/vocab.json", "w") as f:
+            json.dump(vocab, f)
+        args = ["embedder=test:32", f"vocab_path={d}/vocab.json", "prompt_path=",
+                "prompt_collection=Basic", "hypernym_collection=None", "seed=2",
+                f"output_dir={d}/outputs"]
+        cache = f"{d}/cache.bin"
+        cli_main(["action=convert_noun_dataset", f"save_embedding_cache={cache}"] + args)
+        state, S, ewa = cli_main(
+            ["action=train", f"embedding_dataset={cache}", "optimizer=AdamP",
+             "chunk_scale=4", "max_chunks=3", "init_lr=3e-3", "batch_size=8",
+             "hidden_dim=32", "num_layers=2", "num_heads=4", "mlp_seq_len=2",
+             "input_dropout=0.0", "layer_dropout=0.0", "save_every_max=100",
+             "save_top1_min=200"] + args)
+        assert np.isfinite(ewa.loss) and ewa.top1 > 0.2
