@@ -677,8 +677,22 @@ def action_infer(cfg):
         load_sample_annotations(cfg, cfg.infer_ann_json,
                                 update_samples=ann_samples)
 
+    # Guide-target sources, in the reference's precedence (ref train.py:
+    # 2468-2476): explicit list > guiding dataset's vocabulary > file > model
+    # vocabulary (None)
     guide_list = None
-    if cfg.guide_targets_file:
+    if cfg.get("infer_guide_targets"):
+        guide_list = list(cfg.infer_guide_targets)
+    elif cfg.get("infer_guide_dataset"):
+        from novic_tpu.cli.common import resolve_cache_path
+        from novic_tpu.data.cache import EmbeddingCache
+
+        cache = EmbeddingCache(resolve_cache_path(cfg, cfg.infer_guide_dataset),
+                               strict_embedder=False)
+        guide_list = list(cache.target_nouns[1:])
+        log.info(f"Using {len(guide_list)} guiding target nouns from "
+                 f"{cfg.infer_guide_dataset}")
+    elif cfg.guide_targets_file:
         with open(resolve_path(cfg, cfg.guide_targets_file)) as f:
             guide_list = [line.strip() for line in f if line.strip()]
 

@@ -530,3 +530,31 @@ def test_cli_resume_from_reference_train_checkpoint(workdir, tmp_path):
                        + model_args + args)
     # Loop counters resumed from the reference checkpoint (chunk 5 -> 8)
     assert S.chunk_id == 8
+
+
+def test_cli_infer_guide_sources(workdir):
+    """infer_guide_targets / infer_guide_dataset restrict guided decoding
+    (ref train.py:2468-2476 guide-source precedence)."""
+    args = common_args(workdir)
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    ckpt = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))[-1]
+
+    # Explicit list: every top-1 must come from it
+    out = main(["action=infer", f"load_model={ckpt}", "gencfg=beam_k2_vnone_gr_t1_a0",
+                "infer_texts=[a photo of a dog, a photo of a cat]",
+                "infer_guide_targets=[dog, cat]",
+                f"predictions_path={workdir}/preds_guide1.json"] + model_args + args)
+    model_name = list(out["models"])[0]
+    preds = out["models"][model_name]["gencfgs"]["beam_k2_vnone_gr_t1_a0"]["pred"]
+    assert all(p[0] in ("dog", "cat") for p in preds)
+
+    # Guiding dataset: guides come from the cache's target nouns
+    cache = f"{workdir}/noun_cache.bin"
+    out2 = main(["action=infer", f"load_model={ckpt}", "gencfg=beam_k2_vnone_gr_t1_a0",
+                 "infer_texts=[a photo of a dog]",
+                 f"infer_guide_dataset={cache}",
+                 f"predictions_path={workdir}/preds_guide2.json"] + model_args + args)
+    vocab_nouns = {v["target_noun"] for v in VOCAB}
+    preds2 = out2["models"][model_name]["gencfgs"]["beam_k2_vnone_gr_t1_a0"]["pred"]
+    assert all(p[0] in vocab_nouns for p in preds2)
