@@ -121,6 +121,107 @@ def cmd_labels_embeds(args) -> None:
     print(f"ref labels_embeds: {len(result['preds'])} rows, gencfg {model.gencfg.name}")
 
 
+class _AttrDict(dict):
+    """Attribute-access dict standing in for omegaconf.DictConfig (the
+    reference's eval path only reads cfg.<key>)."""
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+
+def _load_ref_cfg(overrides: dict) -> "_AttrDict":
+    """The reference's own config/train.yaml defaults (minus hydra headers),
+    with CPU/eval overrides applied."""
+    import yaml
+
+    with open("/root/reference/config/train.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg.pop("defaults", None)
+    cfg.pop("hydra", None)
+    cfg.update(overrides)
+    return _AttrDict(cfg)
+
+
+def cmd_eval(args) -> None:
+    """Run the REFERENCE's own eval_top1_single (ref train.py:1725-1868) on a
+    shared cache + decoder checkpoint and dump its exact metrics — the
+    cross-implementation differential for novic_tpu's action=eval."""
+    import train as ref_train  # reference module (hydra/wandb/timm shimmed)
+    import infer as ref_infer
+
+    overrides = {
+        "device": "cpu", "embedder_spec": f"transformers:{args.hf_dir}",
+        "embedder_amp": False, "embedder_amp_bf16": False,
+        "embedder_compile": False, "embedder_optimum": False,
+        "amp": False, "amp_bf16": False, "determ": False,
+        "dataset_workers": 0, "batch_size": args.batch_size,
+        "strict_embedder": False, "eval_guided": bool(args.eval_guided),
+        "eval_debug": False, "eval_train": False,
+        "multi_target": bool(args.multi_target),
+        "use_weights": bool(args.use_weights),
+        "multi_first": False, "fixed_multi_length": False,
+        "multi_length": None, "unit_weights": None,
+    }
+    cfg = _load_ref_cfg(overrides)
+
+    device, device_is_cpu, _ = ref_train.load_device(cfg=cfg)
+    dataset_embedder = ref_train.load_embedder(cfg=cfg, device=device)
+    model_embedder = ref_train.load_embedder(cfg=cfg, device=device)
+    amp_context, _ = ref_train.load_decoder_amp(cfg=cfg, device=device)
+
+    # On CUDA the reference's .to(device) transfer implicitly makes batch
+    # tensors contiguous; on CPU the per-batch multi-length trim's slice view
+    # reaches the decoder's .view() and crashes (latent reference CPU bug).
+    # Mirror the CUDA behavior by contiguizing batches.
+    orig_loader_fn = ref_train.load_embedding_dataset_loader
+
+    def patched_loader_fn(**kw):
+        loader, info = orig_loader_fn(**kw)
+
+        class ContigLoader:
+            def __iter__(self):
+                for batch in loader:
+                    yield tuple(b.contiguous() if hasattr(b, "contiguous") else b
+                                for b in batch)
+
+            def __len__(self):
+                return len(loader)
+
+        return ContigLoader(), info
+
+    ref_train.load_embedding_dataset_loader = patched_loader_fn
+
+    dataset = ref_train.load_embedding_dataset(
+        cfg=cfg, embedder=dataset_embedder, embed_dataset=args.cache,
+        use_targets=True, training=False, strict_embedder=False)
+    ref_train.gen_target_config(cfg=cfg, embedder=dataset_embedder,
+                                targets=dataset.targets,
+                                num_invalid_targets=dataset.num_invalid_targets)
+    ref_train.gen_data_config(cfg=cfg, dataset=dataset)
+
+    (eval_loss, eval_top1_noun, eval_top1, eval_top1_seq, eval_tokens_total,
+     num_valid_targets, num_samples, num_batches, elapsed) = \
+        ref_train.eval_top1_single(
+            cfg=cfg, dataset=dataset, model_path=args.checkpoint,
+            device=device, device_is_cpu=device_is_cpu,
+            amp_context=amp_context, dataset_embedder=dataset_embedder,
+            model_embedder=model_embedder)
+    del ref_infer
+    result = {
+        "loss": float(eval_loss), "noun_top1": float(eval_top1_noun),
+        "token_top1": float(eval_top1), "pos_top1": [float(x) for x in eval_top1_seq],
+        "tokens": int(eval_tokens_total), "num_valid_targets": int(num_valid_targets),
+        "num_samples": int(num_samples), "num_batches": int(num_batches),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"ref eval: loss {eval_loss:.6e}, token top1 {eval_top1:.4%}, "
+          f"noun top1 {eval_top1_noun:.4%} over {num_samples} samples")
+
+
 def cmd_readcache(args) -> None:
     """Open a cache file WRITTEN BY novic_tpu with the reference's own
     EmbeddingCache reader (byte-level format interop beyond the golden file)."""
@@ -198,6 +299,15 @@ def main() -> None:
     le.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     le.add_argument("--batch-size", type=int, default=16)
     le.add_argument("--out", required=True)
+    ev = sub.add_parser("eval")
+    ev.add_argument("--hf-dir", required=True)
+    ev.add_argument("--cache", required=True)
+    ev.add_argument("--checkpoint", required=True)
+    ev.add_argument("--batch-size", type=int, default=64)
+    ev.add_argument("--eval-guided", action="store_true")
+    ev.add_argument("--multi-target", action="store_true")
+    ev.add_argument("--use-weights", action="store_true")
+    ev.add_argument("--out", required=True)
     wc = sub.add_parser("writecache")
     wc.add_argument("--hf-dir", required=True)
     wc.add_argument("--cache", required=True)
@@ -209,7 +319,7 @@ def main() -> None:
     rc.add_argument("--out", required=True)
     args = p.parse_args()
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
-     "labels_embeds": cmd_labels_embeds,
+     "labels_embeds": cmd_labels_embeds, "eval": cmd_eval,
      "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
 
 

@@ -263,13 +263,55 @@ def phase_assets() -> None:
 # ---------------------------------------------------------------------------
 
 def _make_shims() -> str:
-    """Stub modules the reference imports but this image lacks. Only
-    `unidecode` (ref utils.py:19, used by get_canon for non-ASCII folding —
-    identity on the pure-ASCII nouns used here)."""
+    """Stub modules the reference imports but this image lacks.
+
+    `unidecode` (ref utils.py:19, identity on pure-ASCII nouns), and — for
+    importing the reference's train.py itself (the eval differential) —
+    minimal `wandb` / `hydra` / `omegaconf` / `timm.optim` stubs covering
+    exactly what executes on the CPU eval path (the decorators/config APIs
+    main() would use are bypassed by calling the helpers directly)."""
     shim_dir = os.path.join(WORK, "shims")
     os.makedirs(shim_dir, exist_ok=True)
     with open(os.path.join(shim_dir, "unidecode.py"), "w") as f:
         f.write("def unidecode(s):\n    return s.encode('ascii', 'ignore').decode()\n")
+    with open(os.path.join(shim_dir, "wandb.py"), "w") as f:
+        f.write("def log(*a, **k):\n    raise RuntimeError('wandb stub')\n")
+    os.makedirs(os.path.join(shim_dir, "hydra", "core"), exist_ok=True)
+    with open(os.path.join(shim_dir, "hydra", "__init__.py"), "w") as f:
+        f.write("def main(*a, **k):\n"
+                "    def deco(fn):\n        return fn\n    return deco\n")
+    with open(os.path.join(shim_dir, "hydra", "core", "__init__.py"), "w") as f:
+        f.write("")
+    with open(os.path.join(shim_dir, "hydra", "core", "hydra_config.py"), "w") as f:
+        f.write("class HydraConfig:\n"
+                "    @staticmethod\n"
+                "    def get():\n        raise RuntimeError('hydra stub')\n")
+    with open(os.path.join(shim_dir, "omegaconf.py"), "w") as f:
+        f.write(
+            "class DictConfig(dict):\n"
+            "    __getattr__ = dict.__getitem__\n"
+            "class OmegaConf:\n"
+            "    @staticmethod\n"
+            "    def to_yaml(cfg):\n        return str(cfg)\n"
+            "    @staticmethod\n"
+            "    def to_container(cfg, resolve=False):\n        return dict(cfg)\n"
+            "    @staticmethod\n"
+            "    def update(cfg, key, value, merge=False):\n"
+            "        parts = key.split('.')\n"
+            "        for p in parts[:-1]:\n            cfg = cfg[p]\n"
+            "        cfg[parts[-1]] = value\n")
+    os.makedirs(os.path.join(shim_dir, "timm"), exist_ok=True)
+    with open(os.path.join(shim_dir, "timm", "__init__.py"), "w") as f:
+        f.write("from . import optim  # noqa: F401\n")
+    with open(os.path.join(shim_dir, "timm", "optim.py"), "w") as f:
+        f.write("AdamP = None  # only touched when optimizer=AdamP\n")
+    os.makedirs(os.path.join(shim_dir, "torchvision"), exist_ok=True)
+    with open(os.path.join(shim_dir, "torchvision", "__init__.py"), "w") as f:
+        f.write("from . import datasets  # noqa: F401\n")
+    with open(os.path.join(shim_dir, "torchvision", "datasets.py"), "w") as f:
+        # classification_dataset.py only isinstance-checks / getattrs these;
+        # the eval path never constructs an image dataset
+        f.write("class ImageFolder:\n    pass\n\nclass Food101:\n    pass\n")
     return shim_dir
 
 
