@@ -121,6 +121,37 @@ def cmd_labels_embeds(args) -> None:
     print(f"ref labels_embeds: {len(result['preds'])} rows, gencfg {model.gencfg.name}")
 
 
+def cmd_noundata(args) -> None:
+    """Enumerate the REFERENCE's NounDataset (index math + procedural sample
+    generation, ref noun_dataset.py) for the novic_tpu differential."""
+    import noun_dataset  # reference module
+    import embedders  # reference module
+
+    emb = embedders.Embedder.create(
+        spec=f"transformers:{args.hf_dir}", amp=False, device="cpu",
+        load_model=False, check=False)
+    ds = noun_dataset.NounDataset(
+        embedder=emb, vocab_path=args.vocab_json, prompt_path=args.prompts_json,
+        prompt_collection=args.prompt_collection,
+        hypernym_collection=args.hypernym_collection,
+        vocab_thres=args.vocab_thres, cache_dir=None, check_consistent=True)
+    samples = [(s.fsid, s.usid, s.freq, s.text, s.target)
+               for s in ds.unique_sample()]
+    rng = np.random.default_rng(3)
+    probe_fsids = sorted(int(i) for i in rng.integers(0, ds.num_fsids, size=200))
+    probes = []
+    for fsid in probe_fsids:
+        usid, text, target = ds.get_sample_usid_text(fsid)
+        probes.append((fsid, int(usid), text, target))
+    with open(args.out, "w") as f:
+        json.dump({"num_fsids": int(ds.num_fsids), "num_usids": int(ds.num_usids),
+                   "samples": samples, "probes": probes,
+                   "targets": list(ds.targets),
+                   "num_invalid_targets": int(ds.num_invalid_targets)}, f)
+    print(f"ref noundata: {ds.num_usids} USIDs / {ds.num_fsids} FSIDs, "
+          f"{len(ds.targets)} targets")
+
+
 class _AttrDict(dict):
     """Attribute-access dict standing in for omegaconf.DictConfig (the
     reference's eval path only reads cfg.<key>)."""
@@ -299,6 +330,14 @@ def main() -> None:
     le.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     le.add_argument("--batch-size", type=int, default=16)
     le.add_argument("--out", required=True)
+    nd = sub.add_parser("noundata")
+    nd.add_argument("--hf-dir", required=True)
+    nd.add_argument("--vocab-json", required=True)
+    nd.add_argument("--prompts-json", required=True)
+    nd.add_argument("--prompt-collection", default="ImageNet1K | CIFAR")
+    nd.add_argument("--hypernym-collection", default="None")
+    nd.add_argument("--vocab-thres", type=int, default=0)
+    nd.add_argument("--out", required=True)
     ev = sub.add_parser("eval")
     ev.add_argument("--hf-dir", required=True)
     ev.add_argument("--cache", required=True)
@@ -320,6 +359,7 @@ def main() -> None:
     args = p.parse_args()
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
      "labels_embeds": cmd_labels_embeds, "eval": cmd_eval,
+     "noundata": cmd_noundata,
      "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
 
 
