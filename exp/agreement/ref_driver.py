@@ -121,6 +121,42 @@ def cmd_labels_embeds(args) -> None:
     print(f"ref labels_embeds: {len(result['preds'])} rows, gencfg {model.gencfg.name}")
 
 
+def cmd_noise(args) -> None:
+    """Apply the REFERENCE's embedding_noise schemes to a shared unit base
+    embedding N times and dump distribution statistics (angle/norm moments +
+    quantiles) for the novic_tpu differential. RNG realizations differ by
+    construction (torch vs jax PRNG); the distributions must match."""
+    import torch
+    import embedding_noise  # reference module
+
+    with open(args.spec_json) as f:
+        specs = json.load(f)
+    base = np.load(args.base_npz)["base"].astype(np.float32)  # (F,)
+    N = args.num
+    torch.manual_seed(123)
+    out = {}
+    for name, kw in specs.items():
+        noise = embedding_noise.EmbeddingNoise.create(
+            embed_dim=base.shape[0], **kw)
+        embed = torch.from_numpy(np.tile(base, (N, 1))).clone()
+        with torch.no_grad():
+            noisy = noise(embed=embed)
+        noisy = noisy.numpy()
+        cos = np.clip(noisy @ base, -1.0, 1.0)
+        angles = np.degrees(np.arccos(cos))
+        norms = np.linalg.norm(noisy, axis=1)
+        qs = [1, 5, 25, 50, 75, 95, 99]
+        out[name] = {
+            "angle_mean": float(angles.mean()), "angle_std": float(angles.std()),
+            "angle_q": [float(x) for x in np.percentile(angles, qs)],
+            "norm_mean": float(norms.mean()), "norm_std": float(norms.std()),
+        }
+        print(f"ref noise {name}: angle {out[name]['angle_mean']:.3f}"
+              f"+-{out[name]['angle_std']:.3f} deg")
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+
+
 def cmd_noundata(args) -> None:
     """Enumerate the REFERENCE's NounDataset (index math + procedural sample
     generation, ref noun_dataset.py) for the novic_tpu differential."""
@@ -330,6 +366,11 @@ def main() -> None:
     le.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     le.add_argument("--batch-size", type=int, default=16)
     le.add_argument("--out", required=True)
+    nz = sub.add_parser("noise")
+    nz.add_argument("--spec-json", required=True)
+    nz.add_argument("--base-npz", required=True)
+    nz.add_argument("--num", type=int, default=200000)
+    nz.add_argument("--out", required=True)
     nd = sub.add_parser("noundata")
     nd.add_argument("--hf-dir", required=True)
     nd.add_argument("--vocab-json", required=True)
@@ -359,7 +400,7 @@ def main() -> None:
     args = p.parse_args()
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
      "labels_embeds": cmd_labels_embeds, "eval": cmd_eval,
-     "noundata": cmd_noundata,
+     "noundata": cmd_noundata, "noise": cmd_noise,
      "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
 
 
