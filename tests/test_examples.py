@@ -7,7 +7,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(script: str, timeout: int = 420) -> str:
+def _run(script: str, timeout: int = 1200) -> str:
+    # Generous guard: this box has ONE CPU core and the example subprocess
+    # contends with the rest of the suite; standalone it runs in ~90 s
     env = dict(os.environ)
     env.pop("NOVIC_MESH", None)
     proc = subprocess.run(
