@@ -157,6 +157,37 @@ def cmd_noise(args) -> None:
         json.dump(out, f)
 
 
+def cmd_score(args) -> None:
+    """Run the REFERENCE's PredictionScorer (ref train.py:234-336) on shared
+    predictions + annotations for the format_preds differential."""
+    import train as ref_train  # reference module (hydra/wandb/timm shimmed)
+
+    with open(args.preds_json) as f:
+        predictions = json.load(f)  # {sample: [preds...]}
+    with open(args.ann_json) as f:
+        raw_ann = json.load(f)
+    class_annotations = {s: {c: set(v) for c, v in ann.items()}
+                         for s, ann in raw_ann.items()}
+    categories = {c: None for ann in raw_ann.values() for c in ann}
+    scorer = ref_train.PredictionScorer(class_annotations, categories)
+    top1_score, top1_counter = scorer.categorise(
+        {s: p[0] for s, p in predictions.items()})
+    topk_scores, topk_counters = scorer.categorise_topk(predictions, args.topk)
+    out = {
+        "top1_score": float(top1_score),
+        "top1_counter": {str(k): v for k, v in top1_counter.items()},
+        "topk_scores": [float(x) for x in topk_scores],
+        "topk_counters": [{str(k): v for k, v in c.items()}
+                          for c in topk_counters],
+        "missing_samples": sorted(scorer.missing_samples),
+        "multiple_categories": sorted([s, p, list(m)] for s, p, m
+                                      in scorer.multiple_categories),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"ref score: top1 {top1_score:.2f}, topk {out['topk_scores']}")
+
+
 def cmd_noundata(args) -> None:
     """Enumerate the REFERENCE's NounDataset (index math + procedural sample
     generation, ref noun_dataset.py) for the novic_tpu differential."""
@@ -366,6 +397,11 @@ def main() -> None:
     le.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0")
     le.add_argument("--batch-size", type=int, default=16)
     le.add_argument("--out", required=True)
+    sc = sub.add_parser("score")
+    sc.add_argument("--preds-json", required=True)
+    sc.add_argument("--ann-json", required=True)
+    sc.add_argument("--topk", type=int, default=3)
+    sc.add_argument("--out", required=True)
     nz = sub.add_parser("noise")
     nz.add_argument("--spec-json", required=True)
     nz.add_argument("--base-npz", required=True)
@@ -400,7 +436,7 @@ def main() -> None:
     args = p.parse_args()
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
      "labels_embeds": cmd_labels_embeds, "eval": cmd_eval,
-     "noundata": cmd_noundata, "noise": cmd_noise,
+     "noundata": cmd_noundata, "noise": cmd_noise, "score": cmd_score,
      "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
 
 

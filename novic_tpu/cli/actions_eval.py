@@ -771,10 +771,12 @@ class PredictionScorer:
         if ann is None:
             self.missing += 1
             return None
-        weight = 0.0
-        for category, nouns in ann.items():
-            if category in CATEGORY_WEIGHTS and pred in nouns:
-                weight = max(weight, CATEGORY_WEIGHTS[category])
+        # A prediction matching multiple categories counts under the
+        # alphabetically-first match — the reference's exact rule
+        # (ref train.py:268-271 matched_category.sort(); [0]); annotators
+        # treat multi-category membership as an error to fix
+        matched = sorted(c for c, nouns in ann.items() if pred in nouns)
+        weight = CATEGORY_WEIGHTS.get(matched[0], 0.0) if matched else 0.0
         if self.specificity is not None:
             weight *= self.specificity.get(pred, 1.0)
         self.score_sum += weight
@@ -801,12 +803,13 @@ def _categorise_topk(annotations, sample_keys, pred_rows, topk):
             continue
         best_cat, best_w = None, -math.inf
         for c, pred in zip(counters, list(preds)[:topk] + [None] * max(0, topk - len(preds))):
-            cat, cw = None, -1.0
+            cat = None
             if pred is not None:
-                for category, nouns in ann.items():
-                    w = CATEGORY_WEIGHTS.get(category, 0.0)
-                    if pred in nouns and w > cw:
-                        cat, cw = category, w
+                # Multi-category matches count under the alphabetically-first
+                # category (ref train.py:291-294 matched_category.sort(); [0])
+                matched = sorted(category for category, nouns in ann.items()
+                                 if pred in nouns)
+                cat = matched[0] if matched else None
             w = CATEGORY_WEIGHTS.get(cat, 0.0) if cat is not None else 0.0
             # Reference carry (ref :297-303): count the best-so-far on a drop,
             # this pred's category on a tie, and update best on improvement

@@ -59,3 +59,17 @@ def test_noise_differential():
 def test_eval_differential():
     out = run_diff("eval_diff.py", timeout=2400)
     assert "ALL CASES MATCH" in out
+
+
+@needs_reference
+@needs_fixtures
+def test_prediction_scoring_differential():
+    out = run_diff("score_preds_diff.py", timeout=600)
+    assert "MATCH — format_preds categorisation" in out
+
+
+@needs_reference
+@needs_fixtures
+def test_score_level_decode_differential():
+    out = run_diff("score_diff.py", timeout=1500)
+    assert "SCORES MATCH" in out
