@@ -1,0 +1,84 @@
+"""Durable store for the agreement-fixture prerequisites.
+
+The differential suite (tests/test_differentials.py) and the diff scripts
+need a handful of expensive-to-rebuild fixtures: the seeded HF towers, the
+converted `towers.npz`, the BPE `merges.txt`, the toy `noun_vocab.json`, the
+reference-side image embeddings `ref_embeds.npz`, and the trained +
+reference-exported `agreement.model` (built by `run_agreement.py` phases
+assets/tokens/embeds/train, ~10 min CPU). They live in the scratch work dir
+(default /tmp/agreement), which does not survive a /tmp wipe — so a
+completed build is mirrored into `<repo>/.agreement_fixtures/` (gitignored,
+~32 MB) and `resolve_work()` reseeds the scratch dir from the mirror when
+the scratch copy is missing. Everything else in the work dir is regenerated
+by the diff scripts themselves on each run.
+"""
+
+import os
+import shutil
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DURABLE = os.path.join(REPO, ".agreement_fixtures")
+
+# The pre-built prerequisites (relative to the work dir). `hf_model` is a
+# directory; the rest are files. Intermediates like evaldiff_*.bin /
+# noise_base.npz / scorediff_*.json are rebuilt by their diff scripts and are
+# deliberately not mirrored.
+KEY_FILES = (
+    "agreement.model",
+    "towers.npz",
+    "merges.txt",
+    "noun_vocab.json",
+    "ref_embeds.npz",
+)
+KEY_DIRS = ("hf_model",)
+
+
+def fixtures_present(work: str) -> bool:
+    return (all(os.path.isfile(os.path.join(work, f)) for f in KEY_FILES)
+            and all(os.path.isdir(os.path.join(work, d)) for d in KEY_DIRS))
+
+
+def _mirror(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for f in KEY_FILES:
+        shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+    for d in KEY_DIRS:
+        dst_d = os.path.join(dst, d)
+        if os.path.isdir(dst_d):
+            shutil.rmtree(dst_d)
+        shutil.copytree(os.path.join(src, d), dst_d)
+
+
+def snapshot(work: str | None = None) -> str | None:
+    """Mirror a completed work dir's prerequisites into the durable store."""
+    work = work or os.environ.get("AGREEMENT_WORK", "/tmp/agreement")
+    if not fixtures_present(work):
+        return None
+    _mirror(work, DURABLE)
+    return DURABLE
+
+
+def resolve_work() -> str:
+    """Work-dir resolution: $AGREEMENT_WORK > scratch default, reseeded from
+    the durable mirror when the scratch copy is absent/incomplete."""
+    work = os.environ.get("AGREEMENT_WORK")
+    if work:
+        return work
+    work = "/tmp/agreement"
+    if not fixtures_present(work) and fixtures_present(DURABLE):
+        _mirror(DURABLE, work)
+    return work
+
+
+if __name__ == "__main__":
+    import sys
+
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "snapshot"
+    if cmd == "snapshot":
+        out = snapshot()
+        print(f"snapshot -> {out}" if out else "work dir incomplete; nothing mirrored")
+        sys.exit(0 if out else 1)
+    elif cmd == "restore":
+        print(f"work dir: {resolve_work()}")
+    else:
+        sys.exit(f"unknown command {cmd!r} (snapshot|restore)")

@@ -20,7 +20,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF = "/root/reference"
-WORK = os.environ.get("AGREEMENT_WORK", "/tmp/agreement")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_store import resolve_work  # noqa: E402
+
+WORK = resolve_work()
 
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

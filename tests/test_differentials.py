@@ -19,13 +19,18 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
-WORK = os.environ.get("AGREEMENT_WORK", "/tmp/agreement")
+sys.path.insert(0, os.path.join(REPO, "exp", "agreement"))
+from fixture_store import fixtures_present, resolve_work  # noqa: E402
+
+# resolve_work() reseeds the scratch work dir from the repo-local durable
+# mirror (.agreement_fixtures/) if /tmp was wiped since the fixtures were
+# built, so these tests stay green across reboots.
+WORK = resolve_work()
 
 needs_reference = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present")
 needs_fixtures = pytest.mark.skipif(
-    not (os.path.isfile(os.path.join(WORK, "agreement.model"))
-         and os.path.isdir(os.path.join(WORK, "hf_model"))),
+    not fixtures_present(WORK),
     reason="agreement fixtures not built (run exp/agreement/run_agreement.py)")
 
 
