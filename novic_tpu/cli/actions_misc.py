@@ -191,7 +191,9 @@ def action_convert_embedder(cfg):
 
         _, model_id = spec.split(":", 1)
         model = transformers.AutoModel.from_pretrained(model_id)
-        family = "siglip" if "siglip" in type(model).__name__.lower() else "clip"
+        cls = type(model).__name__.lower()
+        family = ("siglip" if "siglip" in cls
+                  else "align" if "align" in cls else "clip")
         v, t = convert_hf_model(model, family)
         src = model_id
     save_params_npz(out_path, v, t)

@@ -293,6 +293,20 @@ class JaxEmbedder(Embedder):
                 "SentencePiece .model asset not available (set NOVIC_SIGLIP_SPM or "
                 "pass bpe_merges_path) => falling back to the word-level test "
                 "tokenizer; text embeddings will NOT match released checkpoints")
+        elif arch.tokenizer == "bert":
+            # ALIGN: standard BERT-uncased tokenization, [SEP] KEPT as the end
+            # token (the reference's AutoTokenizer path, ref embedders.py:803-815
+            # — unlike CLIPA's strip-SEP convention below)
+            path = bpe_merges_path or os.environ.get("NOVIC_BERT_VOCAB", "")
+            if path and os.path.isfile(path):
+                from novic_tpu.text.wordpiece import BertWordPieceTokenizer
+
+                return BertWordPieceTokenizer(path, context_length=arch.text.context_length,
+                                              keep_sep=True)
+            log.warning(
+                "BERT WordPiece vocab.txt asset not available (set NOVIC_BERT_VOCAB "
+                "or pass bpe_merges_path) => falling back to the word-level test "
+                "tokenizer; text embeddings will NOT match released checkpoints")
         elif arch.tokenizer == "wordpiece":
             # CLIPA: BERT-uncased WordPiece vocab.txt (ref embedders.py:617-645
             # via open_clip HFTokenizer('bert-base-uncased', strip_sep_token))
@@ -325,6 +339,11 @@ class JaxEmbedder(Embedder):
         if mode not in ("dp", "tp", "dp_tp"):
             raise ValueError(f"Unknown mesh mode: {mode}")
         if "tp" in mode:
+            if self.arch.family == "align":
+                raise ValueError(
+                    "Tensor parallelism is not supported for the ALIGN conv "
+                    "tower (tp_tower_shardings targets transformer params); "
+                    "use mode='dp'")
             from novic_tpu.parallel.tp import validate_tp_divisibility
 
             axis_size = mesh.shape["model"]
@@ -340,10 +359,16 @@ class JaxEmbedder(Embedder):
             return False
         import jax
 
-        from novic_tpu.embedders.vit import TextTransformer, VisionTransformer
+        if self.arch.family == "align":
+            from novic_tpu.embedders.align import BertTextTower, EfficientNetTower
 
-        self._vision_model = VisionTransformer(cfg=self.arch.vision)
-        self._text_model = TextTransformer(cfg=self.arch.text)
+            self._vision_model = EfficientNetTower(cfg=self.arch.vision)
+            self._text_model = BertTextTower(cfg=self.arch.text)
+        else:
+            from novic_tpu.embedders.vit import TextTransformer, VisionTransformer
+
+            self._vision_model = VisionTransformer(cfg=self.arch.vision)
+            self._text_model = TextTransformer(cfg=self.arch.text)
         if self.weights_path:
             from novic_tpu.embedders.convert import load_params_npz
 

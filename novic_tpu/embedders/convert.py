@@ -141,6 +141,8 @@ def convert_hf_model(model, model_type: str) -> tuple[dict, dict]:
         n_v = model.config.vision_config.num_hidden_layers
         n_t = model.config.text_config.num_hidden_layers
         return convert_siglip_vision(sd, n_v), convert_siglip_text(sd, n_t)
+    if model_type == "align":
+        return convert_align_model(model)
     raise ValueError(f"Unsupported model type: {model_type}")
 
 
@@ -340,3 +342,124 @@ def convert_openclip_state_dict(state_dict: dict, family: str,
                                    else text_sd, num_text_layers)
         return vision, text
     raise ValueError(f"Unsupported open_clip family: {family}")
+
+
+# ---------------------------------------------------------------------------
+# ALIGN (EfficientNet-B7 + BERT; HF AlignModel, transformers
+# models/align/modeling_align.py). BatchNorms are folded into per-channel
+# (scale, bias) — the towers are frozen, see novic_tpu/embedders/align.py.
+# ---------------------------------------------------------------------------
+
+
+def _bn_fold(sd: dict, prefix: str, eps: float) -> tuple[np.ndarray, np.ndarray]:
+    gamma = _np(sd[f"{prefix}.weight"]).astype(np.float64)
+    beta = _np(sd[f"{prefix}.bias"]).astype(np.float64)
+    mean = _np(sd[f"{prefix}.running_mean"]).astype(np.float64)
+    var = _np(sd[f"{prefix}.running_var"]).astype(np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    bias = beta - mean * scale
+    return scale.astype(np.float32), bias.astype(np.float32)
+
+
+def _conv_hwio(t) -> np.ndarray:
+    """torch conv weight (O, I, kh, kw) → HWIO (kh, kw, I, O). Depthwise
+    weights (C, 1, k, k) become (k, k, 1, C), the lax grouped-conv layout."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def convert_align_vision(state_dict: dict, cfg, eps: float = 1e-3) -> dict:
+    """HF AlignVisionModel state dict (vision_model.*) → EfficientNetTower
+    params, iterating the same block plan (align.align_block_plan). `cfg` is
+    our AlignVisionConfig (see align_cfg_from_hf); `eps` the HF batch_norm_eps."""
+    from novic_tpu.embedders.align import align_block_plan
+
+    sd = state_dict
+    s, b = _bn_fold(sd, "vision_model.embeddings.batchnorm", eps)
+    params: dict[str, Any] = {
+        "stem_conv_weight": _conv_hwio(sd["vision_model.embeddings.convolution.weight"]),
+        "stem_bn_scale": s, "stem_bn_bias": b,
+    }
+    for i, plan in enumerate(align_block_plan(cfg)):
+        pfx = f"vision_model.encoder.blocks.{i}"
+        blk: dict[str, Any] = {}
+        if plan.expand_ratio != 1:
+            blk["expand_conv_weight"] = _conv_hwio(sd[f"{pfx}.expansion.expand_conv.weight"])
+            blk["expand_bn_scale"], blk["expand_bn_bias"] = _bn_fold(
+                sd, f"{pfx}.expansion.expand_bn", eps)
+        blk["dw_conv_weight"] = _conv_hwio(sd[f"{pfx}.depthwise_conv.depthwise_conv.weight"])
+        blk["dw_bn_scale"], blk["dw_bn_bias"] = _bn_fold(
+            sd, f"{pfx}.depthwise_conv.depthwise_norm", eps)
+        # SE 1x1 convs (O, I, 1, 1) → dense (O, I)
+        blk["se_reduce_weight"] = _np(sd[f"{pfx}.squeeze_excite.reduce.weight"])[:, :, 0, 0]
+        blk["se_reduce_bias"] = _np(sd[f"{pfx}.squeeze_excite.reduce.bias"])
+        blk["se_expand_weight"] = _np(sd[f"{pfx}.squeeze_excite.expand.weight"])[:, :, 0, 0]
+        blk["se_expand_bias"] = _np(sd[f"{pfx}.squeeze_excite.expand.bias"])
+        blk["project_conv_weight"] = _conv_hwio(sd[f"{pfx}.projection.project_conv.weight"])
+        blk["project_bn_scale"], blk["project_bn_bias"] = _bn_fold(
+            sd, f"{pfx}.projection.project_bn", eps)
+        params[f"block_{i}"] = blk
+    return params
+
+
+def convert_align_text(state_dict: dict, num_layers: int) -> dict:
+    """HF AlignTextModel (text_model.*) + text_projection → BertTextTower params."""
+    sd = state_dict
+    e = "text_model.embeddings"
+    params: dict[str, Any] = {
+        "word_embedding": _np(sd[f"{e}.word_embeddings.weight"]),
+        "pos_embedding": _np(sd[f"{e}.position_embeddings.weight"]),
+        "type_embedding": _np(sd[f"{e}.token_type_embeddings.weight"]),
+        "emb_ln_weight": _np(sd[f"{e}.LayerNorm.weight"]),
+        "emb_ln_bias": _np(sd[f"{e}.LayerNorm.bias"]),
+        "proj_weight": _np(sd["text_projection.weight"]),
+        "proj_bias": _np(sd["text_projection.bias"]),
+    }
+    for i in range(num_layers):
+        pfx = f"text_model.encoder.layer.{i}"
+        params.update({
+            f"layers_{i}_q_weight": _np(sd[f"{pfx}.attention.self.query.weight"]),
+            f"layers_{i}_q_bias": _np(sd[f"{pfx}.attention.self.query.bias"]),
+            f"layers_{i}_k_weight": _np(sd[f"{pfx}.attention.self.key.weight"]),
+            f"layers_{i}_k_bias": _np(sd[f"{pfx}.attention.self.key.bias"]),
+            f"layers_{i}_v_weight": _np(sd[f"{pfx}.attention.self.value.weight"]),
+            f"layers_{i}_v_bias": _np(sd[f"{pfx}.attention.self.value.bias"]),
+            f"layers_{i}_attn_out_weight": _np(sd[f"{pfx}.attention.output.dense.weight"]),
+            f"layers_{i}_attn_out_bias": _np(sd[f"{pfx}.attention.output.dense.bias"]),
+            f"layers_{i}_attn_ln_weight": _np(sd[f"{pfx}.attention.output.LayerNorm.weight"]),
+            f"layers_{i}_attn_ln_bias": _np(sd[f"{pfx}.attention.output.LayerNorm.bias"]),
+            f"layers_{i}_fc1_weight": _np(sd[f"{pfx}.intermediate.dense.weight"]),
+            f"layers_{i}_fc1_bias": _np(sd[f"{pfx}.intermediate.dense.bias"]),
+            f"layers_{i}_fc2_weight": _np(sd[f"{pfx}.output.dense.weight"]),
+            f"layers_{i}_fc2_bias": _np(sd[f"{pfx}.output.dense.bias"]),
+            f"layers_{i}_out_ln_weight": _np(sd[f"{pfx}.output.LayerNorm.weight"]),
+            f"layers_{i}_out_ln_bias": _np(sd[f"{pfx}.output.LayerNorm.bias"]),
+        })
+    return params
+
+
+def align_cfg_from_hf(hf_vision_config) -> "AlignVisionConfig":
+    """HF AlignVisionConfig → our static AlignVisionConfig (same field values;
+    ours carries the round_filters/round_repeats math the block plan needs)."""
+    from novic_tpu.embedders.align import AlignVisionConfig
+
+    v = hf_vision_config
+    cfg = AlignVisionConfig(
+        width_coefficient=v.width_coefficient, depth_coefficient=v.depth_coefficient,
+        depth_divisor=v.depth_divisor, kernel_sizes=tuple(v.kernel_sizes),
+        in_channels=tuple(v.in_channels), out_channels=tuple(v.out_channels),
+        strides=tuple(v.strides), num_block_repeats=tuple(v.num_block_repeats),
+        expand_ratios=tuple(v.expand_ratios),
+        depthwise_padding=tuple(v.depthwise_padding),
+        squeeze_expansion_ratio=v.squeeze_expansion_ratio)
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, embed_dim=cfg.round_filters(cfg.out_channels[-1]))
+
+
+def convert_align_model(model) -> tuple[dict, dict]:
+    """Full HF AlignModel → (vision_params, text_params)."""
+    sd = model.state_dict()
+    cfg = align_cfg_from_hf(model.config.vision_config)
+    vision = convert_align_vision(sd, cfg,
+                                  eps=model.config.vision_config.batch_norm_eps)
+    return vision, convert_align_text(sd, model.config.text_config.num_hidden_layers)

@@ -26,7 +26,11 @@ class PreprocessConfig:
     resize_mode: str = "shortest"  # shortest (resize shorter side + center crop) | squash (resize to SxS)
     mean: tuple = CLIP_MEAN
     std: tuple = CLIP_STD
-    interpolation: str = "bicubic"
+    interpolation: str = "bicubic"  # bicubic | bilinear | nearest
+    # squash mode only: resize to resize_size² first, then center crop to
+    # size² (the HF EfficientNetImageProcessor recipe ALIGN uses: 346 → 289).
+    # 0 means resize directly to size².
+    resize_size: int = 0
 
 
 def preprocess_uint8_device(images: "jax.Array", cfg: PreprocessConfig) -> "jax.Array":
@@ -41,9 +45,15 @@ def preprocess_uint8_device(images: "jax.Array", cfg: PreprocessConfig) -> "jax.
     B, H, W, _ = images.shape
     S = cfg.size
     x = images.astype(jnp.float32) / 255.0
+    method = {"bicubic": "cubic", "bilinear": "linear", "nearest": "nearest"}[cfg.interpolation]
+    antialias = method != "nearest"
 
     if cfg.resize_mode == "squash":
-        x = jax.image.resize(x, (B, S, S, 3), method="cubic", antialias=True)
+        R = cfg.resize_size or S
+        x = jax.image.resize(x, (B, R, R, 3), method=method, antialias=antialias)
+        if R != S:
+            off = (R - S) // 2
+            x = jax.lax.dynamic_slice(x, (0, off, off, 0), (B, S, S, 3))
     else:
         # Long side via truncation, matching preprocess_pil_host (which matches
         # HF image utils / torchvision F.resize short-side semantics).
@@ -51,7 +61,7 @@ def preprocess_uint8_device(images: "jax.Array", cfg: PreprocessConfig) -> "jax.
             new_h, new_w = S, max(int(W * S / H), S)
         else:
             new_h, new_w = max(int(H * S / W), S), S
-        x = jax.image.resize(x, (B, new_h, new_w, 3), method="cubic", antialias=True)
+        x = jax.image.resize(x, (B, new_h, new_w, 3), method=method, antialias=antialias)
         top = (new_h - S) // 2
         left = (new_w - S) // 2
         x = jax.lax.dynamic_slice(x, (0, top, left, 0), (B, S, S, 3))
@@ -68,13 +78,20 @@ def preprocess_pil_host(images: Sequence, cfg: PreprocessConfig) -> np.ndarray:
     import PIL.Image
 
     S = cfg.size
+    resample = {"bicubic": PIL.Image.Resampling.BICUBIC,
+                "bilinear": PIL.Image.Resampling.BILINEAR,
+                "nearest": PIL.Image.Resampling.NEAREST}[cfg.interpolation]
     out = np.empty((len(images), S, S, 3), dtype=np.float32)
     for i, img in enumerate(images):
         if not isinstance(img, PIL.Image.Image):
             img = PIL.Image.fromarray(np.asarray(img))
         img = img.convert("RGB")
         if cfg.resize_mode == "squash":
-            img = img.resize((S, S), PIL.Image.Resampling.BICUBIC)
+            R = cfg.resize_size or S
+            img = img.resize((R, R), resample)
+            if R != S:
+                off = (R - S) // 2
+                img = img.crop((off, off, off + S, off + S))
         else:
             w, h = img.size
             # Long side via truncation, matching HF image_processing utils and
@@ -83,7 +100,7 @@ def preprocess_pil_host(images: Sequence, cfg: PreprocessConfig) -> np.ndarray:
                 new_h, new_w = S, max(int(w * S / h), S)
             else:
                 new_h, new_w = max(int(h * S / w), S), S
-            img = img.resize((new_w, new_h), PIL.Image.Resampling.BICUBIC)
+            img = img.resize((new_w, new_h), resample)
             left = (new_w - S) // 2
             top = (new_h - S) // 2
             img = img.crop((left, top, left + S, top + S))

@@ -19,16 +19,17 @@ from novic_tpu.embedders.preprocess import (
     SIGLIP_STD,
     PreprocessConfig,
 )
+from novic_tpu.embedders.align import AlignTextConfig, AlignVisionConfig
 from novic_tpu.embedders.vit import TextTowerConfig, VisionTowerConfig
 
 
 @dataclasses.dataclass(frozen=True)
 class EmbedderArch:
-    vision: VisionTowerConfig
-    text: TextTowerConfig
+    vision: "VisionTowerConfig | AlignVisionConfig"
+    text: "TextTowerConfig | AlignTextConfig"
     preprocess: PreprocessConfig
-    tokenizer: str       # clip_bpe | sentencepiece | wordpiece
-    family: str          # clip | siglip | clipa
+    tokenizer: str       # clip_bpe | sentencepiece | wordpiece | bert
+    family: str          # clip | siglip | clipa | align
 
 
 def _clip(image_size, patch, v_width, v_layers, v_heads, t_width, t_layers, t_heads,
@@ -137,10 +138,25 @@ REGISTRY: dict[str, EmbedderArch] = {
     "transformers:openai/clip-vit-base-patch32": _clip(224, 32, 768, 12, 12, 512, 12, 8, 512),
     "transformers:openai/clip-vit-base-patch16": _clip(224, 16, 768, 12, 12, 512, 12, 8, 512),
     "transformers:openai/clip-vit-large-patch14": _clip(224, 14, 1024, 24, 16, 768, 12, 12, 768),
-    # NOT registered (materially different block structures — would need their
-    # own tower code, not a config): EVA02 (rotary pos + SwiGLU), ALIGN
-    # (EfficientNet+BERT). lookup() rejects them loudly rather than building
-    # a silently-wrong tower.
+    # ALIGN (ref config/train.yaml:135): EfficientNet-B7 + BERT towers built
+    # from the HF AlignModel semantics (embedders/align.py). The preprocess
+    # recipe follows transformers' EfficientNetImageProcessor (squash-resize
+    # 346 NEAREST → center crop 289; mean 0.5, then std 0.5 applied TWICE —
+    # normalize + the include_top re-normalize, image_processing_efficientnet
+    # .py:348-358 — folded here as std 0.25); a local HF checkpoint dir's
+    # preprocessor_config.json overrides it via _arch_from_local_hf.
+    "transformers:kakaobrain/align-base": EmbedderArch(
+        vision=AlignVisionConfig(),
+        text=AlignTextConfig(),
+        preprocess=PreprocessConfig(size=289, resize_size=346, resize_mode="squash",
+                                    mean=SIGLIP_MEAN, std=(0.25, 0.25, 0.25),
+                                    interpolation="nearest"),
+        tokenizer="bert",
+        family="align",
+    ),
+    # NOT registered (materially different block structure — would need its
+    # own tower code, not a config): EVA02 (rotary pos + SwiGLU + sub-LN).
+    # lookup() rejects it loudly rather than building a silently-wrong tower.
 }
 
 
@@ -174,6 +190,8 @@ def _arch_from_local_hf(spec: str) -> "EmbedderArch | None":
         return None
     with open(cfg_path) as f:
         hf = json.load(f)
+    if hf.get("model_type") == "align":
+        return _align_arch_from_local_hf(name, hf)
     if hf.get("model_type") != "clip":
         return None
     v, t = hf["vision_config"], hf["text_config"]
@@ -201,3 +219,73 @@ def _arch_from_local_hf(spec: str) -> "EmbedderArch | None":
         tokenizer="clip_bpe",
         family="clip",
     )
+
+
+def _align_arch_from_local_hf(dirpath: str, hf: dict) -> EmbedderArch:
+    """ALIGN arch from a local HF checkpoint dir; the on-disk config and
+    preprocessor_config.json are authoritative over the registry defaults
+    (the kakaobrain preprocess recipe cannot be fetched offline)."""
+    import json
+    import os
+
+    v = hf.get("vision_config", {})
+    t = hf.get("text_config", {})
+    proj = hf.get("projection_dim", 640)
+    vision = AlignVisionConfig(
+        width_coefficient=v.get("width_coefficient", 2.0),
+        depth_coefficient=v.get("depth_coefficient", 3.1),
+        depth_divisor=v.get("depth_divisor", 8),
+        kernel_sizes=tuple(v.get("kernel_sizes", (3, 3, 5, 3, 5, 5, 3))),
+        in_channels=tuple(v.get("in_channels", (32, 16, 24, 40, 80, 112, 192))),
+        out_channels=tuple(v.get("out_channels", (16, 24, 40, 80, 112, 192, 320))),
+        strides=tuple(v.get("strides", (1, 2, 2, 2, 1, 2, 1))),
+        num_block_repeats=tuple(v.get("num_block_repeats", (1, 2, 2, 3, 3, 4, 1))),
+        expand_ratios=tuple(v.get("expand_ratios", (1, 6, 6, 6, 6, 6, 6))),
+        depthwise_padding=tuple(v.get("depthwise_padding", ())),
+        squeeze_expansion_ratio=v.get("squeeze_expansion_ratio", 0.25),
+    )
+    vision = dataclasses.replace(vision, embed_dim=vision.round_filters(vision.out_channels[-1]))
+    text = AlignTextConfig(
+        # kakaobrain's tokenizer caps at 64 (ref embedders.py:824 uses
+        # tokenizer.model_max_length); never exceed the position table
+        context_length=min(64, t.get("max_position_embeddings", 512)),
+        vocab_size=t.get("vocab_size", 30522), width=t.get("hidden_size", 768),
+        layers=t.get("num_hidden_layers", 12), heads=t.get("num_attention_heads", 12),
+        mlp_dim=t.get("intermediate_size", 3072),
+        max_position_embeddings=t.get("max_position_embeddings", 512),
+        type_vocab_size=t.get("type_vocab_size", 2),
+        act=t.get("hidden_act", "gelu"), layer_norm_eps=t.get("layer_norm_eps", 1e-12),
+        embed_dim=proj, pad_token_id=t.get("pad_token_id", 0),
+    )
+    pre = PreprocessConfig(size=289, resize_size=346, resize_mode="squash",
+                           mean=SIGLIP_MEAN, std=SIGLIP_STD, interpolation="nearest")
+    pp_path = os.path.join(dirpath, "preprocessor_config.json")
+    if os.path.isfile(pp_path):
+        with open(pp_path) as f:
+            pp = json.load(f)
+
+        def _side(val, default):
+            if isinstance(val, dict):
+                return int(val.get("height", val.get("shortest_edge", default)))
+            return int(val) if val is not None else default
+
+        resize_to = _side(pp.get("size"), 346)
+        if pp.get("do_center_crop", False):
+            size, resize_size = _side(pp.get("crop_size"), 289), resize_to
+        else:
+            size, resize_size = resize_to, 0
+        interp = {0: "nearest", 2: "bilinear", 3: "bicubic"}.get(pp.get("resample", 0), "bicubic")
+        std = tuple(pp.get("image_std", SIGLIP_STD))
+        if pp.get("include_top", True):
+            # EfficientNetImageProcessor re-normalizes by std after the
+            # mean/std normalize (image_processing_efficientnet.py:354-358);
+            # fold the double division into an effective std².
+            std = tuple(s * s for s in std)
+        pre = PreprocessConfig(
+            size=size, resize_size=resize_size if resize_size != size else 0,
+            resize_mode="squash",
+            mean=tuple(pp.get("image_mean", SIGLIP_MEAN)),
+            std=std, interpolation=interp)
+    vision = dataclasses.replace(vision, image_size=pre.size)
+    return EmbedderArch(vision=vision, text=text, preprocess=pre,
+                        tokenizer="bert", family="align")

@@ -40,6 +40,7 @@ _ACTS = {
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "quick_gelu": quick_gelu,
+    "swish": jax.nn.silu,  # EfficientNet/ALIGN (HF ACT2FN['swish'] = SiLU)
 }
 
 

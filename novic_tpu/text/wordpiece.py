@@ -121,7 +121,7 @@ class BertWordPieceTokenizer(TextTokenizer):
     """
 
     def __init__(self, vocab_path_or_tokens, context_length: int = 32,
-                 lower: bool = True):
+                 lower: bool = True, keep_sep: bool = False):
         if isinstance(vocab_path_or_tokens, (list, tuple)):
             tokens = list(vocab_path_or_tokens)
         else:
@@ -142,8 +142,10 @@ class BertWordPieceTokenizer(TextTokenizer):
         pad_id = self.vocab["[PAD]"]
         super().__init__(context_length=context_length, vocab_size=len(tokens),
                          cased=not lower, start_token_id=self.vocab["[CLS]"],
-                         # strip_sep_token: the effective end token is PAD
-                         end_token_id=pad_id, pad_token_id=pad_id)
+                         # keep_sep (ALIGN, standard BERT): end token is [SEP];
+                         # default (CLIPA strip_sep_token): end token is PAD
+                         end_token_id=self.sep_token_id if keep_sep else pad_id,
+                         pad_token_id=pad_id)
 
     def encode(self, text: str) -> list[int]:
         ids: list[int] = []

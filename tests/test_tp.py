@@ -112,6 +112,8 @@ def test_tp_registered_towers_divisible():
         name = spec.split(":", 1)[1]
         if os.path.isdir(name):
             continue
+        if arch.family == "align":
+            continue  # conv tower: TP unsupported, set_mesh raises (test_align_parity)
         for n in (2, 4):
             validate_tp_divisibility(arch.vision, arch.text, axis_size=n)
         if arch.vision.heads % 8 == 0 and arch.vision.mlp_dim % 8 == 0:
