@@ -98,7 +98,8 @@ def prepare_work(args) -> None:
         sd = {k[len("module."):] if k.startswith("module.") else k: v
               for k, v in sd.items()}
         v, t = convert_openclip_state_dict(sd, arch.family, arch.vision.layers,
-                                           arch.text.layers)
+                                           arch.text.layers,
+                                           vision_cfg=arch.vision)
         save_params_npz(towers, v, t)
         log(f"converted open_clip checkpoint {args.openclip_ckpt} -> {towers}")
 

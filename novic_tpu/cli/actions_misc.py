@@ -184,7 +184,8 @@ def action_convert_embedder(cfg):
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         v, t = convert_openclip_state_dict(sd, arch.family, arch.vision.layers,
-                                           arch.text.layers)
+                                           arch.text.layers,
+                                           vision_cfg=arch.vision)
         src = cfg.load_model
     else:
         import transformers

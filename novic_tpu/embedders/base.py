@@ -364,6 +364,12 @@ class JaxEmbedder(Embedder):
 
             self._vision_model = EfficientNetTower(cfg=self.arch.vision)
             self._text_model = BertTextTower(cfg=self.arch.text)
+        elif self.arch.family == "eva02":
+            from novic_tpu.embedders.eva import EvaVisionTransformer
+            from novic_tpu.embedders.vit import TextTransformer
+
+            self._vision_model = EvaVisionTransformer(cfg=self.arch.vision)
+            self._text_model = TextTransformer(cfg=self.arch.text)
         else:
             from novic_tpu.embedders.vit import TextTransformer, VisionTransformer
 

@@ -321,9 +321,18 @@ def convert_openclip_siglip_vision(state_dict: dict, num_layers: int) -> dict:
 
 
 def convert_openclip_state_dict(state_dict: dict, family: str,
-                                num_vision_layers: int, num_text_layers: int
-                                ) -> tuple[dict, dict]:
-    """Full open_clip checkpoint → (vision_params, text_params)."""
+                                num_vision_layers: int, num_text_layers: int,
+                                vision_cfg=None) -> tuple[dict, dict]:
+    """Full open_clip checkpoint → (vision_params, text_params).
+
+    `vision_cfg` is required for family='eva02' (the Eva block flags select
+    which checkpoint keys must exist)."""
+    if family == "eva02":
+        if vision_cfg is None:
+            raise ValueError("family='eva02' conversion needs vision_cfg "
+                             "(the EvaVisionConfig from the registry)")
+        return (convert_openclip_eva_vision(state_dict, vision_cfg),
+                convert_openclip_clip_text(state_dict, num_text_layers))
     if family == "clip":
         return (convert_openclip_clip_vision(state_dict, num_vision_layers),
                 convert_openclip_clip_text(state_dict, num_text_layers))
@@ -463,3 +472,81 @@ def convert_align_model(model) -> tuple[dict, dict]:
     vision = convert_align_vision(sd, cfg,
                                   eps=model.config.vision_config.batch_norm_eps)
     return vision, convert_align_text(sd, model.config.text_config.num_hidden_layers)
+
+
+# ---------------------------------------------------------------------------
+# EVA02 (open_clip checkpoints delegate the trunk to timm's Eva class —
+# visual.trunk.* naming; text towers use stock open_clip CLIP naming).
+# Fails loudly (KeyError) on any naming/structure mismatch so a wrong
+# architecture assumption cannot produce a silently-wrong tower — see
+# PARITY.md 'EVA02 provenance'.
+# ---------------------------------------------------------------------------
+
+
+def convert_openclip_eva_vision(state_dict: dict, cfg) -> dict:
+    """open_clip EVA02 visual trunk → EvaVisionTransformer params. `cfg` is
+    the EvaVisionConfig (block flags select which keys must exist)."""
+    sd = state_dict
+    t = "visual.trunk"
+    conv_w = _np(sd[f"{t}.patch_embed.proj.weight"])
+    E = conv_w.shape[0]
+    params: dict[str, Any] = {
+        "patch_weight": conv_w.transpose(0, 2, 3, 1).reshape(E, -1),
+        "patch_bias": _np(sd[f"{t}.patch_embed.proj.bias"]),
+        "class_embedding": _np(sd[f"{t}.cls_token"]).reshape(-1),
+        "pos_embedding": _np(sd[f"{t}.pos_embed"]).reshape(-1, E),
+        "final_norm_weight": _np(sd[f"{t}.norm.weight"]),
+        "final_norm_bias": _np(sd[f"{t}.norm.bias"]),
+    }
+    # The projection to the joint space: timm head (trunk created with
+    # num_classes=embed_dim) or open_clip's own linear head, depending on the
+    # model config's timm_proj — accept either naming.
+    if f"{t}.head.weight" in sd:
+        params["head_weight"] = _np(sd[f"{t}.head.weight"])
+        params["head_bias"] = (_np(sd[f"{t}.head.bias"]) if f"{t}.head.bias" in sd
+                               else np.zeros(params["head_weight"].shape[0], np.float32))
+    elif "visual.head.proj.weight" in sd:
+        params["head_weight"] = _np(sd["visual.head.proj.weight"])
+        params["head_bias"] = (_np(sd["visual.head.proj.bias"])
+                               if "visual.head.proj.bias" in sd
+                               else np.zeros(params["head_weight"].shape[0], np.float32))
+    else:
+        raise KeyError("EVA02 checkpoint has neither visual.trunk.head.* nor "
+                       "visual.head.proj.* — unknown projection naming")
+    for i in range(cfg.layers):
+        p = f"{t}.blocks.{i}"
+        blk: dict[str, Any] = {
+            "norm1_weight": _np(sd[f"{p}.norm1.weight"]),
+            "norm1_bias": _np(sd[f"{p}.norm1.bias"]),
+            "norm2_weight": _np(sd[f"{p}.norm2.weight"]),
+            "norm2_bias": _np(sd[f"{p}.norm2.bias"]),
+            "out_proj_weight": _np(sd[f"{p}.attn.proj.weight"]),
+            "out_proj_bias": _np(sd[f"{p}.attn.proj.bias"]),
+            "fc2_weight": _np(sd[f"{p}.mlp.fc2.weight"]),
+            "fc2_bias": _np(sd[f"{p}.mlp.fc2.bias"]),
+        }
+        if cfg.qkv_fused:
+            blk["qkv_weight"] = _np(sd[f"{p}.attn.qkv.weight"])
+            blk["q_proj_bias"] = _np(sd[f"{p}.attn.q_bias"])
+            blk["v_proj_bias"] = _np(sd[f"{p}.attn.v_bias"])
+        else:
+            blk["q_proj_weight"] = _np(sd[f"{p}.attn.q_proj.weight"])
+            blk["q_proj_bias"] = _np(sd[f"{p}.attn.q_proj.bias"])
+            blk["k_proj_weight"] = _np(sd[f"{p}.attn.k_proj.weight"])
+            blk["v_proj_weight"] = _np(sd[f"{p}.attn.v_proj.weight"])
+            blk["v_proj_bias"] = _np(sd[f"{p}.attn.v_proj.bias"])
+        if cfg.inner_attn_norm:
+            blk["attn_norm_weight"] = _np(sd[f"{p}.attn.norm.weight"])
+            blk["attn_norm_bias"] = _np(sd[f"{p}.attn.norm.bias"])
+        if cfg.swiglu:
+            blk["fc1_g_weight"] = _np(sd[f"{p}.mlp.fc1_g.weight"])
+            blk["fc1_g_bias"] = _np(sd[f"{p}.mlp.fc1_g.bias"])
+            blk["fc1_x_weight"] = _np(sd[f"{p}.mlp.fc1_x.weight"])
+            blk["fc1_x_bias"] = _np(sd[f"{p}.mlp.fc1_x.bias"])
+            blk["mlp_norm_weight"] = _np(sd[f"{p}.mlp.norm.weight"])
+            blk["mlp_norm_bias"] = _np(sd[f"{p}.mlp.norm.bias"])
+        else:
+            blk["fc1_weight"] = _np(sd[f"{p}.mlp.fc1.weight"])
+            blk["fc1_bias"] = _np(sd[f"{p}.mlp.fc1.bias"])
+        params[f"blocks_{i}"] = blk
+    return params

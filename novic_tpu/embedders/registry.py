@@ -20,16 +20,17 @@ from novic_tpu.embedders.preprocess import (
     PreprocessConfig,
 )
 from novic_tpu.embedders.align import AlignTextConfig, AlignVisionConfig
+from novic_tpu.embedders.eva import EvaVisionConfig
 from novic_tpu.embedders.vit import TextTowerConfig, VisionTowerConfig
 
 
 @dataclasses.dataclass(frozen=True)
 class EmbedderArch:
-    vision: "VisionTowerConfig | AlignVisionConfig"
+    vision: "VisionTowerConfig | AlignVisionConfig | EvaVisionConfig"
     text: "TextTowerConfig | AlignTextConfig"
     preprocess: PreprocessConfig
     tokenizer: str       # clip_bpe | sentencepiece | wordpiece | bert
-    family: str          # clip | siglip | clipa | align
+    family: str          # clip | siglip | clipa | align | eva02
 
 
 def _clip(image_size, patch, v_width, v_layers, v_heads, t_width, t_layers, t_heads,
@@ -88,6 +89,29 @@ def _clipa(v_width, v_layers, v_heads, t_width, t_layers, t_heads, embed_dim,
                                     mean=CLIP_MEAN, std=CLIP_STD),
         tokenizer="wordpiece",
         family="clipa",
+    )
+
+
+def _eva02(v_width, v_layers, v_heads, mlp_hidden, t_width, t_layers, t_heads,
+           embed_dim, patch=16, image_size=224, swiglu=True, qkv_fused=False,
+           use_rope=True):
+    """EVA02 CLIP (ref config/train.yaml:105,109,119,129): timm Eva visual
+    trunk + stock open_clip CLIP text tower. Architecture facts transcribed
+    from timm/open_clip sources (not installed here) — see embedders/eva.py
+    docstring and PARITY.md 'EVA02 provenance' for the uncertainty ledger."""
+    return EmbedderArch(
+        vision=EvaVisionConfig(image_size=image_size, patch_size=patch, width=v_width,
+                               layers=v_layers, heads=v_heads, mlp_hidden=mlp_hidden,
+                               embed_dim=embed_dim, use_rope=use_rope,
+                               ref_feat_shape=16, swiglu=swiglu,
+                               inner_attn_norm=swiglu, qkv_fused=qkv_fused),
+        text=TextTowerConfig(context_length=77, vocab_size=49408, width=t_width,
+                             layers=t_layers, heads=t_heads, embed_dim=embed_dim,
+                             act="gelu", causal=True, pool="argmax", proj_bias=False),
+        preprocess=PreprocessConfig(size=image_size, resize_mode="shortest",
+                                    mean=CLIP_MEAN, std=CLIP_STD),
+        tokenizer="clip_bpe",
+        family="eva02",
     )
 
 
@@ -154,9 +178,20 @@ REGISTRY: dict[str, EmbedderArch] = {
         tokenizer="bert",
         family="align",
     ),
-    # NOT registered (materially different block structure — would need its
-    # own tower code, not a config): EVA02 (rotary pos + SwiGLU + sub-LN).
-    # lookup() rejects it loudly rather than building a silently-wrong tower.
+    # EVA02 CLIP family (ref config/train.yaml:105,109,119,129). Vision =
+    # timm Eva trunk; base/large use SwiGLU+rope+sub-LN, the enormous
+    # (EVA-CLIP-E) trunk is plain pre-LN ViT blocks with fused qkv. The
+    # "plus" variant differs only in its text tower (bigG-sized).
+    "openclip:timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k":
+        _eva02(768, 12, 12, 2048, 512, 12, 8, 512),
+    "openclip:timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k":
+        _eva02(1024, 24, 16, 2730, 768, 12, 12, 768, patch=14),
+    "openclip:timm/eva02_enormous_patch14_clip_224.laion2b_s4b_b115k":
+        _eva02(1792, 64, 16, 15360, 1024, 24, 16, 1024, patch=14,
+               swiglu=False, qkv_fused=True, use_rope=False),
+    "openclip:timm/eva02_enormous_patch14_plus_clip_224.laion2b_s9b_b144k":
+        _eva02(1792, 64, 16, 15360, 1280, 32, 20, 1024, patch=14,
+               swiglu=False, qkv_fused=True, use_rope=False),
 }
 
 

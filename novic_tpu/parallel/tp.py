@@ -25,11 +25,15 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# Leaf-name -> (column|row|bias_col|replicated) classification
+# Leaf-name -> (column|row|bias_col|replicated) classification.
+# fc1_g/fc1_x/mlp_norm + qkv_weight cover the EVA02 trunk (embedders/eva.py):
+# SwiGLU's inner LN runs over the TP-sharded hidden dim — GSPMD inserts the
+# cross-shard mean/var collectives, one extra all-reduce per block.
 _COLUMN = ("q_proj_weight", "k_proj_weight", "v_proj_weight", "fc1_weight",
-           "map_fc1_weight")
+           "map_fc1_weight", "fc1_g_weight", "fc1_x_weight")
 _COLUMN_BIAS = ("q_proj_bias", "k_proj_bias", "v_proj_bias", "fc1_bias",
-                "map_fc1_bias")
+                "map_fc1_bias", "fc1_g_bias", "fc1_x_bias",
+                "mlp_norm_weight", "mlp_norm_bias")
 _ROW = ("out_proj_weight", "fc2_weight", "map_fc2_weight")
 
 

@@ -115,6 +115,10 @@ def test_tp_registered_towers_divisible():
         if arch.family == "align":
             continue  # conv tower: TP unsupported, set_mesh raises (test_align_parity)
         for n in (2, 4):
+            if "eva02_large" in spec and n == 4:
+                # known exception: SwiGLU hidden int(1024*8/3)=2730 splits
+                # only at TP-2; loud refusal pinned in test_eva_parity.py
+                continue
             validate_tp_divisibility(arch.vision, arch.text, axis_size=n)
         if arch.vision.heads % 8 == 0 and arch.vision.mlp_dim % 8 == 0:
             validate_tp_divisibility(arch.vision, axis_size=8)
