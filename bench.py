@@ -68,6 +68,10 @@ BACKBONES = {
     "dfn5b378": ("openclip:apple/DFN5B-CLIP-ViT-H-14-378", 56.2, 1100.0),
     # CLIPA-v2 H/14 (registered round 3): ref yaml:113 — 193-192 id/s, 2.71 kid/s
     "clipa_h14": ("openclip:rwightman/ViT-H-14-CLIPA-datacomp1B", 192.5, 2710.0),
+    # EVA02 + ALIGN (registered round 3): ref yaml:129,109,135 id/s + kid/s rows
+    "eva02_b16": ("openclip:timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k", 855.0, 4830.0),
+    "eva02_e14": ("openclip:timm/eva02_enormous_patch14_clip_224.laion2b_s4b_b115k", 37.8, 1240.0),
+    "align_base": ("transformers:kakaobrain/align-base", 540.5, 10200.0),
 }
 
 
@@ -88,8 +92,8 @@ def bench_text(name: str) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from novic_tpu.embedders.base import tower_modules
     from novic_tpu.embedders.registry import lookup
-    from novic_tpu.embedders.vit import TextTransformer
 
     spec, _, a6000_txt_s = BACKBONES[name]
     arch = lookup(spec)
@@ -97,7 +101,7 @@ def bench_text(name: str) -> dict:
     batch = int(os.environ.get("BENCH_BATCH", 512))
     inner = INNER
 
-    text = TextTransformer(cfg=tcfg)
+    _, text = tower_modules(arch)
     t_params = jax.jit(text.init)({"params": jax.random.PRNGKey(0)},
                                   jnp.zeros((1, tcfg.context_length), jnp.int32))["params"]
 
@@ -136,18 +140,20 @@ def bench_backbone(name: str) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from novic_tpu.embedders.base import tower_modules
     from novic_tpu.embedders.preprocess import preprocess_uint8_device
     from novic_tpu.embedders.registry import lookup
-    from novic_tpu.embedders.vit import VisionTransformer
 
     spec, a6000_img_s, _ = BACKBONES[name]
     arch = lookup(spec)
     vcfg = arch.vision
     pcfg = arch.preprocess
-    batch = int(os.environ.get("BENCH_BATCH", 256 if name == "siglip_b16" else 64))
+    batch = int(os.environ.get("BENCH_BATCH",
+                               256 if name in ("siglip_b16", "eva02_b16", "align_base")
+                               else 16 if name == "eva02_e14" else 64))
     inner = INNER
 
-    vision = VisionTransformer(cfg=vcfg)
+    vision, _ = tower_modules(arch)
     S = vcfg.image_size
     v_params = jax.jit(vision.init)({"params": jax.random.PRNGKey(0)},
                                     jnp.zeros((1, S, S, 3), jnp.float32))["params"]

@@ -230,6 +230,23 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def tower_modules(arch: EmbedderArch):
+    """(vision_model, text_model) flax modules for a registry arch — the
+    single family-dispatch point (used by load_model and bench.py)."""
+    if arch.family == "align":
+        from novic_tpu.embedders.align import BertTextTower, EfficientNetTower
+
+        return EfficientNetTower(cfg=arch.vision), BertTextTower(cfg=arch.text)
+    if arch.family == "eva02":
+        from novic_tpu.embedders.eva import EvaVisionTransformer
+        from novic_tpu.embedders.vit import TextTransformer
+
+        return EvaVisionTransformer(cfg=arch.vision), TextTransformer(cfg=arch.text)
+    from novic_tpu.embedders.vit import TextTransformer, VisionTransformer
+
+    return VisionTransformer(cfg=arch.vision), TextTransformer(cfg=arch.text)
+
+
 class JaxEmbedder(Embedder):
     """Jitted JAX towers for a registered CLIP-family architecture."""
 
@@ -359,22 +376,7 @@ class JaxEmbedder(Embedder):
             return False
         import jax
 
-        if self.arch.family == "align":
-            from novic_tpu.embedders.align import BertTextTower, EfficientNetTower
-
-            self._vision_model = EfficientNetTower(cfg=self.arch.vision)
-            self._text_model = BertTextTower(cfg=self.arch.text)
-        elif self.arch.family == "eva02":
-            from novic_tpu.embedders.eva import EvaVisionTransformer
-            from novic_tpu.embedders.vit import TextTransformer
-
-            self._vision_model = EvaVisionTransformer(cfg=self.arch.vision)
-            self._text_model = TextTransformer(cfg=self.arch.text)
-        else:
-            from novic_tpu.embedders.vit import TextTransformer, VisionTransformer
-
-            self._vision_model = VisionTransformer(cfg=self.arch.vision)
-            self._text_model = TextTransformer(cfg=self.arch.text)
+        self._vision_model, self._text_model = tower_modules(self.arch)
         if self.weights_path:
             from novic_tpu.embedders.convert import load_params_npz
 
