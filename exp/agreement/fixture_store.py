@@ -59,14 +59,19 @@ def snapshot(work: str | None = None) -> str | None:
 
 
 def resolve_work() -> str:
-    """Work-dir resolution: $AGREEMENT_WORK > scratch default, reseeded from
-    the durable mirror when the scratch copy is absent/incomplete."""
+    """Work-dir resolution: $AGREEMENT_WORK > scratch default. The default
+    scratch dir is reseeded from the durable mirror when absent/incomplete,
+    and opportunistically snapshotted INTO the mirror when the scratch copy
+    is complete but the mirror is not — so any diff-script or test run after
+    a fixture build populates the mirror without a manual step."""
     work = os.environ.get("AGREEMENT_WORK")
     if work:
         return work
     work = "/tmp/agreement"
     if not fixtures_present(work) and fixtures_present(DURABLE):
         _mirror(DURABLE, work)
+    elif fixtures_present(work) and not fixtures_present(DURABLE):
+        _mirror(work, DURABLE)
     return work
 
 

@@ -30,7 +30,6 @@ from fixture_store import resolve_work  # noqa: E402
 WORK = resolve_work()
 
 sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 F = 768
 N = 200_000

@@ -826,6 +826,12 @@ def main() -> None:
         phase_cacheio()
     if "report" in phases:
         write_report()
+    # Mirror the freshly built prerequisites into the repo-local durable
+    # store so the differential suite survives a /tmp wipe (fixture_store)
+    from fixture_store import snapshot
+
+    if snapshot(WORK):
+        print(f"[fixtures] mirrored into {os.path.join(REPO, '.agreement_fixtures')}")
 
 
 if __name__ == "__main__":

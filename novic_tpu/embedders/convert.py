@@ -477,9 +477,12 @@ def convert_align_model(model) -> tuple[dict, dict]:
 # ---------------------------------------------------------------------------
 # EVA02 (open_clip checkpoints delegate the trunk to timm's Eva class —
 # visual.trunk.* naming; text towers use stock open_clip CLIP naming).
-# Fails loudly (KeyError) on any naming/structure mismatch so a wrong
-# architecture assumption cannot produce a silently-wrong tower — see
-# PARITY.md 'EVA02 provenance'.
+# Fails loudly (KeyError) on naming/structure mismatches for every fact
+# with checkpoint keys (swiglu vs plain MLP, sub-LN, fused vs split qkv,
+# layer count, projection naming). The keyless flags — use_rope and
+# ref_feat_shape — cannot be checked here; only the behavioral demo-image
+# agreement in exp/validate_released.py covers them. See PARITY.md
+# 'EVA02 provenance'.
 # ---------------------------------------------------------------------------
 
 

@@ -292,8 +292,11 @@ def _align_arch_from_local_hf(dirpath: str, hf: dict) -> EmbedderArch:
         act=t.get("hidden_act", "gelu"), layer_norm_eps=t.get("layer_norm_eps", 1e-12),
         embed_dim=proj, pad_token_id=t.get("pad_token_id", 0),
     )
+    # Fallback (no preprocessor_config.json) must match the registry entry:
+    # std is the include_top-folded 0.5² = 0.25 (see the kakaobrain entry)
     pre = PreprocessConfig(size=289, resize_size=346, resize_mode="squash",
-                           mean=SIGLIP_MEAN, std=SIGLIP_STD, interpolation="nearest")
+                           mean=SIGLIP_MEAN, std=(0.25, 0.25, 0.25),
+                           interpolation="nearest")
     pp_path = os.path.join(dirpath, "preprocessor_config.json")
     if os.path.isfile(pp_path):
         with open(pp_path) as f:

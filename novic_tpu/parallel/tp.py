@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # SwiGLU's inner LN runs over the TP-sharded hidden dim — GSPMD inserts the
 # cross-shard mean/var collectives, one extra all-reduce per block.
 _COLUMN = ("q_proj_weight", "k_proj_weight", "v_proj_weight", "fc1_weight",
-           "map_fc1_weight", "fc1_g_weight", "fc1_x_weight")
+           "map_fc1_weight", "fc1_g_weight", "fc1_x_weight", "qkv_weight")
 _COLUMN_BIAS = ("q_proj_bias", "k_proj_bias", "v_proj_bias", "fc1_bias",
                 "map_fc1_bias", "fc1_g_bias", "fc1_x_bias",
                 "mlp_norm_weight", "mlp_norm_bias")

@@ -167,6 +167,15 @@ def test_align_registry_and_local_hf_dir(tmp_path):
     assert arch.preprocess.std == pytest.approx((0.04, 0.04, 0.04))
     assert arch.vision.image_size == 32
 
+    # Without a preprocessor_config.json the fallback must match the
+    # registry entry (folded std 0.25), not the raw 0.5
+    d2 = tmp_path / "align_ckpt_nopp"
+    d2.mkdir()
+    (d2 / "config.json").write_text((d / "config.json").read_text())
+    arch2 = lookup(f"transformers:{d2}")
+    assert arch2.preprocess.std == (0.25, 0.25, 0.25)
+    assert arch2.preprocess.size == 289 and arch2.preprocess.resize_size == 346
+
 
 def test_align_wordpiece_keep_sep(tmp_path):
     """ALIGN keeps [SEP] as the end token (standard BERT ids, the reference's

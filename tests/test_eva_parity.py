@@ -31,6 +31,39 @@ from novic_tpu.embedders.eva import (  # noqa: E402
 EPS = 1e-6
 
 
+def _rope_table_torch(grid, ref, head_dim):
+    """Independent rope-cat table (do NOT call the implementation's
+    rope_cat_table here): per-axis head_dim//4 bands at temperature 1e4,
+    coordinates rescaled by ref/grid, each band's angle duplicated into an
+    adjacent channel pair, rows-axis channels first, [sin | cos] concat.
+    Built positionwise with explicit loops for independence."""
+    bands = head_dim // 4
+    table = torch.zeros(grid * grid, 2 * head_dim, dtype=torch.float64)
+    for row in range(grid):
+        for col in range(grid):
+            n = row * grid + col
+            chans = []
+            for coord in (row, col):                      # y first, then x
+                c = coord * ref / grid if ref else float(coord)
+                for b in range(bands):
+                    ang = c / (10000.0 ** (b / bands))
+                    chans += [ang, ang]                   # paired channels
+            a = torch.tensor(chans)
+            table[n, :head_dim] = torch.sin(a)
+            table[n, head_dim:] = torch.cos(a)
+    return table.to(torch.float32)
+
+
+def test_rope_table_cross_implementation():
+    """The flax implementation's vectorized table == the loop-built one."""
+    ours = rope_cat_table(3, 4, 16)
+    ref = _rope_table_torch(3, 4, 16).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+    ours = rope_cat_table(5, 0, 8)
+    ref = _rope_table_torch(5, 0, 8).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
 def _apply_rope_torch(x, table):
     """x: (B, H, N, hd); table (N, 2*hd) [sin|cos]. Written with strided
     slicing (vs the JAX port's reshape/stack) for independence."""
@@ -137,8 +170,7 @@ class _TorchEva(nn.Module):
         self.head = nn.Linear(cfg.width, cfg.embed_dim)
         rope = None
         if cfg.use_rope:
-            rope = torch.from_numpy(
-                rope_cat_table(G, cfg.ref_feat_shape, cfg.width // cfg.heads))
+            rope = _rope_table_torch(G, cfg.ref_feat_shape, cfg.width // cfg.heads)
         self.rope = rope
 
     def forward(self, images):                      # (B, 3, S, S)

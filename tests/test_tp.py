@@ -75,6 +75,43 @@ def test_tp_inference_matches_single_device(pool, use_cls, pre_ln):
     assert leaf.sharding.spec == jax.sharding.PartitionSpec("model", None)
 
 
+@pytest.mark.parametrize("qkv_fused,swiglu", [(False, True), (True, False)])
+def test_tp_eva_tower_matches_single_device(qkv_fused, swiglu):
+    """TP over the EVA02 trunk (rope + sub-LN; SwiGLU split-qkv like base/
+    large, and fused-qkv plain-MLP like enormous). Pins the qkv_weight /
+    fc1_g/fc1_x/mlp_norm column entries in parallel/tp.py."""
+    from novic_tpu.embedders.eva import EvaVisionConfig
+
+    emb = Embedder.create(
+        "openclip:timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k",
+        load_model=False, inference_batch_size=16, image_batch_size=16)
+    emb.arch = EmbedderArch(
+        vision=EvaVisionConfig(image_size=32, patch_size=16, width=32, layers=2,
+                               heads=8, mlp_hidden=16, embed_dim=16,
+                               use_rope=True, ref_feat_shape=2,
+                               swiglu=swiglu, inner_attn_norm=True,
+                               qkv_fused=qkv_fused, compute_dtype="float32"),
+        text=TextTowerConfig(context_length=16, vocab_size=64, width=32, layers=2,
+                             heads=8, embed_dim=16, compute_dtype="float32"),
+        preprocess=emb.arch.preprocess, tokenizer=emb.arch.tokenizer,
+        family="eva02")
+    emb.tokenizer.context_length = 16
+    emb.load_model()
+
+    rng = np.random.default_rng(2)
+    imgs = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    out_single = emb.inference_image(imgs)
+
+    mesh = create_mesh(jax.devices()[:8], axis_names=("model",))
+    emb.set_mesh(mesh, mode="tp")
+    out_tp = emb.inference_image(imgs)
+    np.testing.assert_allclose(out_tp, out_single, atol=2e-5)
+    # The fused qkv / SwiGLU gate params are genuinely column-sharded
+    block = emb._vision_params["blocks_0"]
+    leaf = block["qkv_weight"] if qkv_fused else block["fc1_g_weight"]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec("model", None)
+
+
 def test_dp_tp_2d_mesh():
     """2-D ('data','model') mesh: batch sharded on data, params TP on model."""
     emb = tiny_embedder()
