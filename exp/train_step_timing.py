@@ -3,7 +3,11 @@
 Reference trains 18 epochs x 80.4M targets in <3 days on an A6000
 (BASELINE.md: ~5.6k noun/s sustained incl. data loading).
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -17,14 +21,14 @@ from novic_tpu.train.step import create_train_state, make_train_step
 
 BATCH, ACCUM, INNER, ITERS = 1024, 8, 5, 3  # effective batch 8192 (ref config)
 
-import os
-
 DTYPE = os.environ.get("TRAIN_DTYPE", "float32")
 DROP = float(os.environ.get("TRAIN_DROPOUT", "1"))
+DROP_IMPL = os.environ.get("TRAIN_DROPOUT_IMPL", "auto")
 cfg = DecoderModelConfig(embed_dim=768, vocab_size=4096, token_length=12,
                          hidden_dim=512, feedfwd_scale="1/4", mlp_seq_len=4,
                          num_layers=6, num_heads=8, compute_dtype=DTYPE,
-                         input_dropout=0.15 * DROP, layer_dropout=0.05 * DROP)
+                         input_dropout=0.15 * DROP, layer_dropout=0.05 * DROP,
+                         dropout_impl=DROP_IMPL)
 model = PrefixedIterDecoder(cfg=cfg)
 kd, ke = jax.random.split(jax.random.PRNGKey(0))
 params = jax.jit(model.init)({"params": kd}, jnp.zeros((1, 768), jnp.float32),
@@ -63,7 +67,7 @@ for it in range(ITERS * INNER):
     st, m = step(st, batch, 1e-3, jax.random.fold_in(key, it))
 _ = np.asarray(m["loss_sum"])
 dt = (time.perf_counter() - t0) / (ITERS * INNER)
-print(f"train step [{DTYPE} drop={DROP} rng={RNG_IMPL}] (B={BATCH}x{ACCUM} accum): {dt*1000:.2f} ms/step  "
+print(f"train step [{DTYPE} drop={DROP}/{DROP_IMPL} rng={RNG_IMPL}] (B={BATCH}x{ACCUM} accum): {dt*1000:.2f} ms/step  "
       f"{B/dt:,.0f} noun/s  (ref sustained ~5.6k noun/s incl. IO)", flush=True)
 print(f"18 epochs x 80.4M targets at this rate: {18*80.4e6/(B/dt)/3600:.1f} h compute",
       flush=True)

@@ -257,6 +257,7 @@ def model_config_from_cfg(cfg, embedder: Embedder) -> DecoderModelConfig:
         strictly_causal=cfg.strictly_causal,
         matmul_precision=cfg.matmul_precision,
         compute_dtype=cfg.get("decoder_compute_dtype", "float32"),
+        dropout_impl=cfg.get("dropout_impl", "auto"),
     )
 
 

@@ -61,6 +61,9 @@ class DecoderModelConfig:
 
     # TPU compute options (new; no reference analog)
     compute_dtype: str = "float32"      # float32|bfloat16 for transformer matmuls
+    dropout_impl: str = "auto"          # auto|threefry|pallas dropout mask source
+    # (models/layers.py FastDropout; 'auto' = packed threefry — the hardware-PRNG
+    # Pallas kernel measured slower end-to-end and stays an explicit opt-in)
     matmul_precision: str = "default"   # default|high|highest: MXU passes for f32 matmuls.
     # "default" = single bf16 pass (fast, ~0.4% relative error — analogous to the
     # reference's TF32-enabled CUDA matmuls, utils.py:119-123); "highest" = exact f32,

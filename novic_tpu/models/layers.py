@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from novic_tpu.models.config import DecoderModelConfig, activation_gain, get_activation
+from novic_tpu.ops.dropout import hw_dropout, supports_shape
 
 NEG_INF = -1e30  # finite -inf stand-in: keeps softmax NaN-free for fully masked rows
 
@@ -37,15 +38,34 @@ class FastDropout(nn.Module):
     blocks, and flax's dropout draws one block per element; drawing uint32
     for HALF the elements and unpacking two 16-bit fields per block halves
     the RNG work (dropout RNG measured at 21% of the train step,
-    BENCH_NOTES.md). Keep probability quantizes to 1/65536 (≤1.5e-5)."""
+    BENCH_NOTES.md). Keep probability quantizes to 1/65536 (≤1.5e-5).
+
+    impl selects the mask source: 'threefry' = the packed jax.random path
+    above; 'pallas' = the hardware-PRNG kernel (ops/dropout.py) that
+    generates bits in VMEM and regenerates them in backward (no threefry
+    compute, no keep-mask residual in HBM); 'auto' = threefry. Measured
+    A/B on chip (BENCH_NOTES.md "Pallas dropout"): the kernel is
+    bandwidth-optimal standalone but LOSES end-to-end (308 vs 260 ms/step)
+    because each pallas_call is a fusion barrier — XLA fuses the threefry
+    path into the surrounding matmul epilogues for free, and the decoder
+    has 25 dropout sites per microbatch. 'pallas' stays as an explicit
+    opt-in (single-device TPU only: Mosaic custom calls do not
+    auto-partition under a GSPMD mesh step)."""
 
     rate: float
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if deterministic or self.rate <= 0.0:
             return x
+        if self.impl not in ("auto", "pallas", "threefry"):
+            raise ValueError(f"Unknown dropout impl: {self.impl}")
         keep = 1.0 - self.rate
+        if self.impl == "pallas" and supports_shape(x.size):
+            rng = self.make_rng("dropout")
+            seed = jax.random.bits(rng, (), jnp.uint32)
+            return hw_dropout(x, seed, self.rate).astype(x.dtype)
         thresh = jnp.uint32(min(int(round(keep * 65536)), 65535))
         rng = self.make_rng("dropout")
         n = x.size
@@ -285,10 +305,10 @@ class TransformerLayer(nn.Module):
 
         self.act = get_activation(cfg.layer_activation)
         self.precision = resolve_precision(cfg.matmul_precision)
-        self.attn_dropout = FastDropout(rate=cfg.layer_dropout)
-        self.dropout1 = FastDropout(rate=cfg.layer_dropout)
-        self.ff_dropout = FastDropout(rate=cfg.layer_dropout)
-        self.dropout2 = FastDropout(rate=cfg.layer_dropout)
+        self.attn_dropout = FastDropout(rate=cfg.layer_dropout, impl=cfg.dropout_impl)
+        self.dropout1 = FastDropout(rate=cfg.layer_dropout, impl=cfg.dropout_impl)
+        self.ff_dropout = FastDropout(rate=cfg.layer_dropout, impl=cfg.dropout_impl)
+        self.dropout2 = FastDropout(rate=cfg.layer_dropout, impl=cfg.dropout_impl)
 
     # -- attention core ------------------------------------------------------
 

@@ -155,7 +155,7 @@ class PrefixedIterDecoder(nn.Module):
             self.token_embedding = None
         self.pos_embedding = self.param(
             "pos_embedding", normal_init(init_embed_std), (cfg.max_seq_len, cfg.hidden_dim))
-        self.input_dropout_mod = FastDropout(rate=cfg.input_dropout)
+        self.input_dropout_mod = FastDropout(rate=cfg.input_dropout, impl=cfg.dropout_impl)
         self.transformer = Transformer(cfg=cfg, name="transformer")
         self.causality_bias = causality_mask(cfg.max_seq_len, cfg.mlp_seq_len, cfg.strictly_causal)
 
