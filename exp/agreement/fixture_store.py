@@ -29,6 +29,13 @@ KEY_FILES = (
     "merges.txt",
     "noun_vocab.json",
     "ref_embeds.npz",
+    # Reference-side decode dumps (run_agreement phases labels,labels_extra):
+    # score_diff.py compares our per-candidate logprobs against these, so a
+    # /tmp wipe must not orphan them from the agreement.model they were
+    # decoded with.
+    "ref_labels_beam_k10_vnone_gp_t1_a0.json",
+    "ref_labels_greedy_k1_vnone_gp_t1_a0.json",
+    "ref_labels_all_k5_vnone_gp_t1_a0.json",
 )
 KEY_DIRS = ("hf_model",)
 

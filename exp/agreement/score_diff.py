@@ -28,7 +28,7 @@ WORK = resolve_work()
 sys.path.insert(0, REPO)
 
 GENCFGS = {
-    "beam_k10_vnone_gp_t1_a0": "ref_labels.json",
+    "beam_k10_vnone_gp_t1_a0": "ref_labels_beam_k10_vnone_gp_t1_a0.json",
     "greedy_k1_vnone_gp_t1_a0": "ref_labels_greedy_k1_vnone_gp_t1_a0.json",
     "all_k5_vnone_gp_t1_a0": "ref_labels_all_k5_vnone_gp_t1_a0.json",
 }
@@ -52,8 +52,12 @@ def main() -> None:
     for gencfg, ref_name in GENCFGS.items():
         path = os.path.join(WORK, ref_name)
         if not os.path.isfile(path):
+            # A missing dump must FAIL the run, not soft-pass with fewer
+            # gencfgs compared (a silent skip once reported SCORES MATCH
+            # while the beam dump was absent).
             log(f"[{gencfg}] reference dump missing ({ref_name}) — run "
                 f"run_agreement phases labels,labels_extra first")
+            ok_all = False
             continue
         with open(path) as f:
             ref = json.load(f)
