@@ -182,7 +182,8 @@ def action_train(cfg):
             multi_first=dc.multi_first, beta1=cfg.beta1, beta2=cfg.beta2,
             weight_decay=cfg.weight_decay, weight_decay_1d=cfg.weight_decay_1d,
             optimizer=cfg.optimizer, nesterov=cfg.nesterov,
-            opt_state_arrays=opt_arrays, metrics=metrics, save_fn=save_fn, mesh=mesh)
+            opt_state_arrays=opt_arrays, metrics=metrics, save_fn=save_fn, mesh=mesh,
+            profile_dir=(cfg.get("profile_dir", "") or None))
     metrics.finish()
     log.info(f"Training finished: loss {ewa.loss:.4e}, top1 {ewa.top1:.3%} "
              f"(max {ewa.top1_max:.3%}); run dir {run_dir}")
