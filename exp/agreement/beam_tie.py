@@ -79,7 +79,7 @@ def main() -> None:
     ref_embeds = np.load(os.path.join(WORK, "ref_embeds.npz"))["image"]
     ref_embed = ref_embeds[idx:idx + 1].astype(np.float32)
 
-    ref_saved = json.load(open(os.path.join(WORK, "ref_labels.json")))
+    ref_saved = json.load(open(os.path.join(WORK, "ref_labels_beam_k10_vnone_gp_t1_a0.json")))
     assert ref_saved["paths"][idx].endswith(IMAGE)
     ref_preds = ref_saved["preds"][idx][:5]
     ref_lp = ref_saved["logprobs"][idx][:5]

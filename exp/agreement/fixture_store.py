@@ -29,10 +29,13 @@ KEY_FILES = (
     "merges.txt",
     "noun_vocab.json",
     "ref_embeds.npz",
-    # Reference-side decode dumps (run_agreement phases labels,labels_extra):
-    # score_diff.py compares our per-candidate logprobs against these, so a
-    # /tmp wipe must not orphan them from the agreement.model they were
-    # decoded with.
+)
+# Reference-side decode dumps (run_agreement phases labels,labels_extra):
+# score_diff.py compares our per-candidate logprobs against these, so they
+# must not be orphaned from the agreement.model they were decoded with —
+# they are mirrored when present, but their absence does not disable the
+# mirror for a core-only build (labels phases are optional).
+DUMP_FILES = (
     "ref_labels_beam_k10_vnone_gp_t1_a0.json",
     "ref_labels_greedy_k1_vnone_gp_t1_a0.json",
     "ref_labels_all_k5_vnone_gp_t1_a0.json",
@@ -45,10 +48,18 @@ def fixtures_present(work: str) -> bool:
             and all(os.path.isdir(os.path.join(work, d)) for d in KEY_DIRS))
 
 
+def dumps_present(work: str) -> bool:
+    """True if the reference decode dumps (score_diff prerequisites) exist."""
+    return all(os.path.isfile(os.path.join(work, f)) for f in DUMP_FILES)
+
+
 def _mirror(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for f in KEY_FILES:
         shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+    for f in DUMP_FILES:
+        if os.path.isfile(os.path.join(src, f)):
+            shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
     for d in KEY_DIRS:
         dst_d = os.path.join(dst, d)
         if os.path.isdir(dst_d):

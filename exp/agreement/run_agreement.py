@@ -794,7 +794,7 @@ def write_report() -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--phases", default="assets,tokens,embeds,train,labels,report")
+    p.add_argument("--phases", default="assets,tokens,embeds,train,labels,labels_extra,report")
     p.add_argument("--model", help="existing .model checkpoint for labels phase")
     args = p.parse_args()
     phases = args.phases.split(",")

@@ -127,20 +127,39 @@ def main() -> None:
             json.dump(vocab, f)
     else:
         vocab = json.load(open(vocab_path))
+        if len(vocab) != args.nouns:
+            sys.exit(f"[soak3] {vocab_path} has {len(vocab)} nouns but --nouns"
+                     f"={args.nouns}; use a fresh --workdir for a different scale")
 
     common = ["embedder=test:768", f"vocab_path={vocab_path}",
               f"prompt_collection={args.prompts}", "seed=3",
               f"output_dir={W}/outputs", "batch_size_embed=8192"]
 
+    def cache_ok(path: str) -> bool:
+        # The writers commit the header magic LAST, so a partial file from an
+        # interrupted build fails validation and is rebuilt.
+        if not os.path.exists(path):
+            return False
+        try:
+            from novic_tpu.data.cache import EmbeddingCache
+            EmbeddingCache(path)
+            return True
+        except Exception:
+            print(f"[soak3] {path} exists but is invalid/partial -> rebuilding",
+                  flush=True)
+            return False
+
     multiset = os.path.join(W, "multiset.bin")
     singles = os.path.join(W, "singles.bin")
     merged = os.path.join(W, "merged.bin")
-    if not os.path.exists(merged) and not args.serve_only:
+    if not cache_ok(merged) and not args.serve_only:
         t0 = time.perf_counter()
-        cli(["action=cache_noun_multiset", f"save_embedding_cache={multiset}",
-             "multi_target_freq=[1]", "hypernym_collection=None"] + common)
-        cli(["action=convert_noun_dataset", f"save_embedding_cache={singles}",
-             "hypernym_collection=Type"] + common)
+        if not cache_ok(multiset):
+            cli(["action=cache_noun_multiset", f"save_embedding_cache={multiset}",
+                 "multi_target_freq=[1]", "hypernym_collection=None"] + common)
+        if not cache_ok(singles):
+            cli(["action=convert_noun_dataset", f"save_embedding_cache={singles}",
+                 "hypernym_collection=Type"] + common)
         cli(["action=merge_caches", f"save_embedding_cache={merged}",
              f"embedding_datasets=[{multiset}, {singles}]", "merge_freqs=[1, 1]"]
             + common)
@@ -159,14 +178,23 @@ def main() -> None:
                   "noise_mix_ratio=0.15"]
 
     ckpts = sorted(glob.glob(f"{W}/outputs/ovod_*/*.npz"))
-    if not args.serve_only or not ckpts:
+    if args.serve_only and not ckpts:
+        sys.exit(f"[soak3] --serve-only but no checkpoint under {W}/outputs")
+    if not args.serve_only:
         from novic_tpu.data.cache import EmbeddingCache
+        from novic_tpu.train.loop import compute_chunk_batches
         rows = EmbeddingCache(merged).header.embed_num
-        steps = int(args.epochs * rows / 8192)
-        chunk_scale = 2  # meta-batches per chunk
-        max_chunks = max(steps // chunk_scale, 4)
-        print(f"[soak3] {rows} rows -> {steps} steps of 8192 "
-              f"({args.epochs} epochs) = {max_chunks} chunks", flush=True)
+        steps = int(args.epochs * rows / 8192)  # meta-batches of 1024x8
+        chunk_scale = 2
+        # A chunk is ceil(num_targets * chunk_scale / batch_size) META-batches
+        # (ref train.py:990) -- at this vocab that is ~84 per chunk, NOT
+        # chunk_scale; deriving max_chunks from the real chunk size keeps the
+        # run at the requested epoch count.
+        chunk_batches = compute_chunk_batches(len(vocab), chunk_scale, 1024)
+        max_chunks = max(round(steps / chunk_batches), 2)
+        print(f"[soak3] {rows} rows -> {steps} meta-steps of 8192 "
+              f"({args.epochs} epochs) = {max_chunks} chunks of "
+              f"{chunk_batches} meta-batches", flush=True)
         t0 = time.perf_counter()
         state, S, ewa = cli(["action=train", f"embedding_dataset={merged}",
                              f"max_chunks={max_chunks}", f"chunk_scale={chunk_scale}",

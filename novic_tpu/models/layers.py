@@ -95,14 +95,14 @@ class FastDropout(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if deterministic or self.rate <= 0.0:
-            return x
         if self.impl not in ("auto", "pallas", "threefry"):
             raise ValueError(f"Unknown dropout impl: {self.impl}")
+        if deterministic or self.rate <= 0.0:
+            return x
         keep = 1.0 - self.rate
         if self.impl == "pallas" and supports_shape(x.size):
             rng = self.make_rng("dropout")
-            seed = jax.random.bits(rng, (), jnp.uint32)
+            seed = jax.random.bits(rng, (2,), jnp.uint32)  # full 64-bit key space
             return hw_dropout(x, seed, self.rate).astype(x.dtype)
         thresh = min(int(round(keep * 65536)), 65535)
         rng = self.make_rng("dropout")

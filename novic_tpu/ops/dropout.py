@@ -69,7 +69,12 @@ def _block_rows(rows: int) -> int:
 
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, thresh: int, inv_keep: float):
     # Reseed per grid block so backward can regenerate the identical mask.
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # Both key words are fed in: collapsing the key to one uint32 would shrink
+    # the mask space to 2^32 and birthday-collide across a long run's ~10^7
+    # (site, step) draws. Mosaic accepts at most TWO seed words, so the block
+    # index is mixed into word 0 with a golden-ratio odd multiplier
+    # (wrapping int32 mul keeps the map bijective per block).
+    pltpu.prng_seed(seed_ref[0] ^ (pl.program_id(0) * -1640531527), seed_ref[1])
     bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
     keep = bits < jnp.uint32(thresh)
     x = x_ref[...]
@@ -96,16 +101,21 @@ def _run_kernel(x2d: jnp.ndarray, seed: jnp.ndarray, rate: float) -> jnp.ndarray
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hw_dropout(x: jnp.ndarray, seed: jnp.ndarray, rate: float) -> jnp.ndarray:
-    """Dropout(x) with hardware-PRNG mask; seed is a () int32/uint32 array.
+    """Dropout(x) with hardware-PRNG mask; seed is a (2,) (or ()) uint32/int32
+    array — two words keep the full 64-bit key space (FastDropout passes
+    jax.random.bits(rng, (2,), uint32)).
 
     TPU-only (no interpret-mode fallback: `prng_seed` has no CPU lowering in
-    this JAX version) — callers gate on the backend (FastDropout 'auto')."""
+    this JAX version) — callers gate on the backend (FastDropout 'pallas')."""
     return _hw_dropout_fwd(x, seed, rate)[0]
 
 
 def _hw_dropout_fwd(x, seed, rate):
     shape = x.shape
-    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    seed = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed.size < 2:
+        seed = jnp.concatenate([seed, jnp.zeros(2 - seed.size, jnp.int32)])
+    seed = seed[:2]
     y = _run_kernel(x.reshape(-1, _LANES), seed, rate)
     return y.reshape(shape), seed
 

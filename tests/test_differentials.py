@@ -20,7 +20,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 sys.path.insert(0, os.path.join(REPO, "exp", "agreement"))
-from fixture_store import fixtures_present, resolve_work  # noqa: E402
+from fixture_store import dumps_present, fixtures_present, resolve_work  # noqa: E402
 
 # resolve_work() reseeds the scratch work dir from the repo-local durable
 # mirror (.agreement_fixtures/) if /tmp was wiped since the fixtures were
@@ -41,7 +41,7 @@ def agreement_fixtures():
     reference-side labels/labels_extra decode dumps score_diff compares
     against, ~15 min CPU) instead of skipping; the build self-snapshots
     into the mirror so every later run is instant."""
-    if fixtures_present(WORK):
+    if fixtures_present(WORK) and dumps_present(WORK):
         return WORK
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
