@@ -109,10 +109,20 @@ def action_embedder_zero_shot(cfg):
     embedder = load_embedder(cfg, load_model=True)
     names = cfg.cls_datasets or [cfg.cls_dataset]
     results = {}
+    noun_prompts = None
+    if not cfg.get("clip_prompts", True):
+        # ref train.py:682-686: embed class names through the NOUN dataset's
+        # compiled singular prompt templates instead of the CLIP ensembles
+        from novic_tpu.cli.common import load_noun_dataset
+        nds = load_noun_dataset(cfg, embedder, use_cache=False)
+        noun_prompts = tuple((p.template, p.need_article)
+                             for p in nds.singular_prompts)
     for ds_name in names:
         ds = load_image_dataset(ds_name, resolve_path(cfg, cfg.cls_dataset_root),
-                                split=cfg.cls_split, variant="clip")
-        prompts = load_image_dataset_prompts(ds_name, cfg.zero_shot_prompts)
+                                split=cfg.cls_split, variant="clip",
+                                clean=bool(cfg.get("clip_clean", False)))
+        prompts = (noun_prompts if noun_prompts is not None else
+                   load_image_dataset_prompts(ds_name, cfg.zero_shot_prompts))
         text_embeds = compute_text_embeddings(embedder, ds.classes, prompts)
         loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
                                       transform=embedder.get_image_transform(),
@@ -394,7 +404,8 @@ def action_eval_cls(cfg):
     if not ckpts:
         raise ValueError("eval_cls requires load_model/load_models")
     ds = load_image_dataset(cfg.cls_dataset, resolve_path(cfg, cfg.cls_dataset_root),
-                            split=cfg.cls_split, variant=cfg.class_names_variant, clean=True,
+                            split=cfg.cls_split, variant=cfg.class_names_variant,
+                            clean=(cfg.class_names_variant == "clip"),
                             paths=save_mis)
     loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
                                   transform=embedder.get_image_transform(),
@@ -523,7 +534,8 @@ def action_eval_cls_decoding(cfg):
     all_rows = []
     for ds_name in names:
         ds = load_image_dataset(ds_name, resolve_path(cfg, cfg.cls_dataset_root),
-                                split=cfg.cls_split, variant=cfg.class_names_variant, clean=True)
+                                split=cfg.cls_split, variant=cfg.class_names_variant,
+                                clean=(cfg.class_names_variant == "clip"))
         loader = ClassificationLoader(ds, batch_size=cfg.batch_size_image,
                                       transform=embedder.get_image_transform(), shuffle=False)
         # eval_samples_max: cap evaluated images (ref train.py:2233-2236)

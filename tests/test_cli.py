@@ -245,6 +245,18 @@ def mnist_root(tmp_path_factory):
     return str(d)
 
 
+def test_cli_zero_shot_noun_prompts_and_clean(workdir, mnist_root):
+    """clip_prompts=false swaps the CLIP ensembles for the noun dataset's
+    compiled singular templates, and clip_clean cleans the class names
+    (ref train.py:681-688, config clip_clean/clip_prompts)."""
+    args = common_args(workdir)
+    cls_args = ["cls_dataset=MNIST", f"cls_dataset_root={mnist_root}",
+                "cls_split=valid", "batch_size_image=8"]
+    res_noun = main(["action=embedder_zero_shot", "clip_prompts=false",
+                     "clip_clean=true"] + cls_args + args)
+    assert 0.0 <= res_noun["MNIST"] <= 1.0
+
+
 def test_cli_zero_shot_and_eval_cls(workdir, mnist_root):
     """embedder_zero_shot (+measure_gap), cache_cls, eval_cls and
     eval_cls_decoding all run end-to-end on a synthetic MNIST with the hash
