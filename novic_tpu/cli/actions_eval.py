@@ -29,6 +29,7 @@ from novic_tpu.cli.common import (
     load_embedding_dataset,
     make_run_dir,
     resolve_path,
+    wandb_init_kwargs,
 )
 from novic_tpu.data.classification import (
     ClassificationLoader,
@@ -240,7 +241,7 @@ def action_eval(cfg):
     if not ckpts:
         raise ValueError("eval requires load_model/load_models")
     specs = cfg.embedding_datasets or [cfg.embedding_dataset]
-    metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb,
+    metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb, wandb_kwargs=wandb_init_kwargs(cfg),
                             project=cfg.wandb_project, config=_flat_cfg(cfg))
     eval_train = bool(cfg.get("eval_train", False))
     results = {}
@@ -423,7 +424,7 @@ def action_eval_cls(cfg):
     all_embeds = np.concatenate(embeds_list)
     all_labels = np.concatenate(labels_list)
 
-    metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb,
+    metrics = MetricsLogger(run_dir=make_run_dir(cfg), use_wandb=cfg.use_wandb, wandb_kwargs=wandb_init_kwargs(cfg),
                             project=cfg.wandb_project, config=_flat_cfg(cfg))
     results = {}
     for ckpt_path in ckpts:
@@ -530,7 +531,7 @@ def action_eval_cls_decoding(cfg):
     gencfgs = load_generation_configs(cfg)
     names = cfg.cls_datasets or [cfg.cls_dataset]
     run_dir = make_run_dir(cfg)
-    metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb, project=cfg.wandb_project)
+    metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb, wandb_kwargs=wandb_init_kwargs(cfg), project=cfg.wandb_project)
     all_rows = []
     for ds_name in names:
         ds = load_image_dataset(ds_name, resolve_path(cfg, cfg.cls_dataset_root),
@@ -747,7 +748,7 @@ def action_infer(cfg):
     log.info(f"Wrote predictions JSON: {out_path}")
     # Record the run in the local results database (mined by format_wandb)
     metrics = MetricsLogger(run_dir=os.path.dirname(out_path) or None,
-                            use_wandb=cfg.use_wandb, project=cfg.wandb_project,
+                            use_wandb=cfg.use_wandb, wandb_kwargs=wandb_init_kwargs(cfg), project=cfg.wandb_project,
                             config=_flat_cfg(cfg))
     for model_name, model_out in output["models"].items():
         for gname in model_out["gencfgs"]:

@@ -24,6 +24,7 @@ from novic_tpu.cli.common import (
     make_run_dir,
     model_config_from_cfg,
     resolve_path,
+    wandb_init_kwargs,
 )
 from novic_tpu.data.grad_accum import GradAccum
 from novic_tpu.data.noise import EmbeddingNoise
@@ -133,7 +134,7 @@ def action_train(cfg):
 
     run_dir = make_run_dir(cfg)
     stamp = os.path.basename(run_dir)[len("ovod_"):]
-    metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb,
+    metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb, wandb_kwargs=wandb_init_kwargs(cfg),
                             project=cfg.wandb_project, config=config_to_flat(cfg))
 
     C = TrainLoopConfig(

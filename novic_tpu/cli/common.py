@@ -35,6 +35,17 @@ def resolve_path(cfg, path: str) -> str:
                              embedder_spec=cfg.get("embedder"))
 
 
+def wandb_init_kwargs(cfg) -> dict:
+    """entity/group/name/tags/job_type passthrough for MetricsLogger
+    (ref wandb_* keys, ref config/train.yaml:24-33)."""
+    tags = cfg.get("wandb_tags", None)
+    if isinstance(tags, str):
+        tags = [t for t in tags.split() if t] or None
+    return {"entity": cfg.get("wandb_entity", ""), "group": cfg.get("wandb_group", ""),
+            "name": cfg.get("wandb_name", ""), "tags": tags,
+            "job_type": cfg.get("wandb_job_type", "")}
+
+
 def make_run_dir(cfg) -> str:
     stamp = time.strftime("%Y%m%d_%H%M%S")
     run_dir = os.path.join(resolve_path(cfg, cfg.output_dir), f"ovod_{stamp}")

@@ -21,7 +21,8 @@ class MetricsLogger:
 
     def __init__(self, run_dir: Optional[str] = None, use_wandb: bool = False,
                  project: str = "novic_tpu", config: Optional[dict] = None,
-                 name: Optional[str] = None):
+                 name: Optional[str] = None,
+                 wandb_kwargs: Optional[dict] = None):
         self.run_dir = run_dir
         self._file = None
         self._step = 0
@@ -37,7 +38,11 @@ class MetricsLogger:
                 import wandb
 
                 self._wandb = wandb
-                wandb.init(project=project, config=config, name=name)
+                # entity/group/tags/job_type passthrough (ref wandb_* keys,
+                # ref config/train.yaml:24-33); falsy values are dropped so
+                # empty-string config defaults don't override wandb's own
+                wandb.init(project=project, config=config, name=name,
+                           **{k: v for k, v in (wandb_kwargs or {}).items() if v})
             except ImportError:
                 _console.warning("wandb requested but not installed => local JSONL only")
 

@@ -148,3 +148,38 @@ def test_progress_bar():
         bar.resume()
         bar.update(4)
     assert bar.n == 10
+
+
+def test_metrics_logger_wandb_kwargs(monkeypatch, tmp_path):
+    """entity/group/name/tags/job_type reach wandb.init; falsy values dropped
+    (ref wandb_* keys, ref config/train.yaml:24-33)."""
+    import sys
+    import types
+
+    calls = {}
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: calls.update(kw)
+    stub.log = lambda *a, **k: None
+    stub.finish = lambda: None
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from novic_tpu.utils.metrics import MetricsLogger
+
+    m = MetricsLogger(run_dir=str(tmp_path), use_wandb=True, project="p",
+                      name="n", wandb_kwargs={"entity": "", "group": "g",
+                                              "tags": ["a", "b"], "job_type": ""})
+    m.finish()
+    assert calls["project"] == "p" and calls["name"] == "n"
+    assert calls["group"] == "g" and calls["tags"] == ["a", "b"]
+    assert "entity" not in calls and "job_type" not in calls  # falsy dropped
+
+
+def test_wandb_init_kwargs_from_cfg():
+    from novic_tpu.cli.common import wandb_init_kwargs
+    from novic_tpu.utils.misc import AttrDict
+
+    cfg = AttrDict({"wandb_entity": "e", "wandb_group": "", "wandb_name": "run1",
+                    "wandb_tags": "tag1 tag2", "wandb_job_type": "train"})
+    kw = wandb_init_kwargs(cfg)
+    assert kw["entity"] == "e" and kw["name"] == "run1"
+    assert kw["tags"] == ["tag1", "tag2"] and kw["job_type"] == "train"
