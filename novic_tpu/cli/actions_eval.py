@@ -15,6 +15,7 @@ import itertools
 import json
 import math
 import os
+import re
 import time
 from functools import partial
 from typing import Any, Optional, Sequence
@@ -850,9 +851,50 @@ def _format_counter(counter) -> str:
             f"{inc:{w}d}/{other:{w}d}✗ = {total:{w}d}")
 
 
-def _print_table(headers, rows):
+def sort_table_rows(rows, headers, sort_spec):
+    """In-place table sort by '[+|-][0]<column header>' (case-insensitive):
+    leading +/- sets direction, a following '0' parses the first float in
+    the cell (ref sort_table_rows, train.py:4233-4266; fmt_sort/pfmt_sort,
+    ref config/train.yaml:547,568). Applied AFTER each table's default
+    ordering, like the reference."""
+    if not sort_spec:
+        return rows
+    spec = str(sort_spec).lower()
+    reverse = False
+    if spec[:1] in ("+", "-"):
+        reverse = spec[0] == "-"
+        spec = spec[1:]
+    numparse = spec[:1] == "0"
+    if numparse:
+        spec = spec[1:]
+    lowered = [str(h).lower() for h in headers]
+    if spec in lowered:
+        col = lowered.index(spec)
+    else:
+        log.warning(f"Cannot sort by missing column header: {spec}")
+        col = 0
+    if numparse:
+        float_re = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+
+        def key(row):
+            v = row[col]
+            if isinstance(v, str):
+                m = float_re.search(v)
+                return float(m.group(0)) if m else \
+                    (-math.inf if reverse else math.inf)
+            return float(v)
+    else:
+        def key(row):
+            return str(row[col])
+    rows.sort(key=key, reverse=reverse)
+    return rows
+
+
+def _print_table(headers, rows, sort_spec=None):
     import tabulate as _tab
 
+    if sort_spec:
+        rows = sort_table_rows(list(rows), headers, sort_spec)
     print(_tab.tabulate(rows, headers=headers, tablefmt="pretty",
                         numalign="left", stralign="left"))
 
@@ -909,7 +951,8 @@ def action_format_preds(cfg):
                         cells.append(f"{pred} = {sc:.3g} {mark}")
                     rows.append((sk, *cells))
                 log.info(f"Top-{topk} predictions for {label} decoded with {gname}:")
-                _print_table(("Sample", *(f"Prediction {k+1}" for k in range(topk))), rows)
+                _print_table(("Sample", *(f"Prediction {k+1}" for k in range(topk))), rows,
+                             sort_spec=cfg.get("format_sort", ""))
         return loaded
 
     # Score grid: gencfg -> label -> (topk scores, topk counters)
@@ -932,7 +975,8 @@ def action_format_preds(cfg):
                              *(f"{s:.1f}" for s in scores),
                              *(f"{100*s/total:.1f}%" if total else "nan" for s in scores)))
             _print_table(("Model", "Top-1 Details", *(f"Top-{k+1}" for k in range(kmax)),
-                          *(f"Top-{k+1}%" for k in range(kmax))), rows)
+                          *(f"Top-{k+1}%" for k in range(kmax))), rows,
+                         sort_spec=cfg.get("format_sort", ""))
     elif mode == "model_max_v1":
         log.info("Maximum top-1 prediction scores per-model across decoding strategies:")
         rows = []
@@ -946,7 +990,8 @@ def action_format_preds(cfg):
             rows.append((label, _format_counter(counter), f"{score:.1f}",
                          f"{100*score/total:.1f}%" if total else "nan", g))
         rows.sort(key=lambda r: -float(r[2]))
-        _print_table(("Model", "Top-1 Details", "Top-1", "Top-1%", "Gen Cfg"), rows)
+        _print_table(("Model", "Top-1 Details", "Top-1", "Top-1%", "Gen Cfg"), rows,
+                     sort_spec=cfg.get("format_sort", ""))
     elif mode == "gencfg_model_v1":
         log.info(f"Top-k (up to {topk}) prediction scores across models and decoding strategies:")
         if len(set(totals.values())) > 1:
@@ -965,7 +1010,8 @@ def action_format_preds(cfg):
             cells = [(f"{100*per_label[lb][0][0]/totals[lb]:.1f}%"
                       if lb in per_label and totals[lb] else "-") for lb in labels]
             rows.append((gname, " ".join(means), *cells))
-        _print_table(("Gen Cfg", "Mean Top-k", *labels), rows)
+        _print_table(("Gen Cfg", "Mean Top-k", *labels), rows,
+                     sort_spec=cfg.get("format_sort", ""))
     else:
         raise ValueError(f"Unsupported predictions format mode: {cfg.format_mode}")
     return grid
@@ -1152,7 +1198,8 @@ def action_format_wandb(cfg):
                 if k in m else "-" for k in metric_keys))
              for run, action, model, ds, m in rows]
     log.info(f"Results database ({fmt_type}): {len(rows)} rows")
-    _print_table(("Run", "Action", "Model", "Dataset/GenCfg", *metric_keys), table)
+    _print_table(("Run", "Action", "Model", "Dataset/GenCfg", *metric_keys), table,
+                 sort_spec=cfg.get("fmt_sort", ""))
     return rows
 
 

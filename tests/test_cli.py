@@ -37,6 +37,28 @@ def common_args(workdir):
             f"output_dir={workdir}/outputs"]
 
 
+
+@pytest.fixture(scope="module")
+def trained_ckpt(workdir):
+    """Latest .npz checkpoint in the shared workdir; builds the cache and
+    trains the tiny model on demand so every dependent test runs standalone
+    (not only after test_cli_full_pipeline in module order)."""
+    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    if ckpts:
+        return ckpts[-1]
+    args = common_args(workdir)
+    cache = f"{workdir}/noun_cache.bin"
+    if not os.path.exists(cache):
+        main(["action=convert_noun_dataset", f"save_embedding_cache={cache}"] + args)
+    main(["action=train", f"embedding_dataset={cache}", "chunk_scale=4",
+          "max_chunks=3", "init_lr=3e-3", "save_every_max=2", "save_top1_min=200",
+          "batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+          "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"] + args)
+    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    assert ckpts
+    return ckpts[-1]
+
+
 def test_cli_help():
     assert main(["--help"]) is None
 
@@ -111,7 +133,7 @@ def test_cli_full_pipeline(workdir):
               f"annotations_paths=[{ann_path}]", f"format_mode={mode}"] + args)
 
 
-def test_cli_infer_ann_json_update(workdir):
+def test_cli_infer_ann_json_update(workdir, trained_ckpt):
     """infer with infer_ann_json_update inserts un-annotated samples into the
     annotation JSON skeleton (existing entries preserved, new ones empty per
     category, file sorted), then annotate-stub -> format_preds round-trips
@@ -119,7 +141,7 @@ def test_cli_infer_ann_json_update(workdir):
     args = common_args(workdir)
     model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
                   "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
-    ckpt = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))[-1]
+    ckpt = trained_ckpt
     ann_path = f"{workdir}/ann_update.json"
     existing = {"a photo of a dog": {"correct_primary": ["dog"],
                                      "close_primary": []}}
@@ -165,16 +187,17 @@ def test_cli_infer_ann_json_update(workdir):
     assert counters[0]["correct_primary"] >= 1
 
 
-def test_cli_format_metrics(workdir):
+def test_cli_format_metrics(workdir, trained_ckpt):
+    # trained_ckpt guarantees at least one run dir with metrics.jsonl exists
     rows = main(["action=format_metrics"] + common_args(workdir))
-    assert isinstance(rows, list) and rows  # train runs above wrote metrics.jsonl
+    assert isinstance(rows, list) and rows
 
 
-def test_cli_orbax_checkpoint_train_resume_infer(workdir):
+def test_cli_orbax_checkpoint_train_resume_infer(workdir, trained_ckpt):
     """checkpoint_format=orbax: train saves .orbax dirs, resume loads them,
     eval accepts an .orbax path directly."""
     args = common_args(workdir)
-    cache = f"{workdir}/noun_cache.bin"  # written by test_cli_full_pipeline
+    cache = f"{workdir}/noun_cache.bin"  # built by the trained_ckpt fixture
     model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
                   "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
     out = f"{workdir}/outputs_orbax"
@@ -202,11 +225,11 @@ def test_cli_orbax_checkpoint_train_resume_infer(workdir):
     assert res["noun_top1"] >= 0.0  # ran through the orbax-loaded decoder
 
 
-def test_cli_format_wandb(workdir):
+def test_cli_format_wandb(workdir, trained_ckpt):
     """format_wandb mines the local run-dir results database written by eval."""
     args = common_args(workdir)
     cache = f"{workdir}/noun_cache.bin"
-    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    ckpts = [trained_ckpt]
     model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
                   "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
     main(["action=eval", f"embedding_dataset={cache}", f"load_model={ckpts[-1]}"]
@@ -257,7 +280,7 @@ def test_cli_zero_shot_noun_prompts_and_clean(workdir, mnist_root):
     assert 0.0 <= res_noun["MNIST"] <= 1.0
 
 
-def test_cli_zero_shot_and_eval_cls(workdir, mnist_root):
+def test_cli_zero_shot_and_eval_cls(workdir, mnist_root, trained_ckpt):
     """embedder_zero_shot (+measure_gap), cache_cls, eval_cls and
     eval_cls_decoding all run end-to-end on a synthetic MNIST with the hash
     embedder (SURVEY §3.3/§3.5 call stacks)."""
@@ -299,7 +322,7 @@ def test_cli_zero_shot_and_eval_cls(workdir, mnist_root):
              + cls_args + args)
 
     # eval_cls + eval_cls_decoding against the trained checkpoint
-    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    ckpts = [trained_ckpt]
     model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
                   "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
     res = main(["action=eval_cls", f"load_model={ckpts[-1]}"]
@@ -440,7 +463,7 @@ def test_parse_duration_and_stamp():
     assert parse_datetime_str("20260101_120000") == "2026-01-01T12:00:00+00:00"
 
 
-def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root, tmp_path):
+def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root, tmp_path, trained_ckpt):
     """The shipped data tables drive the released recipe: cache_noun_multiset
     with prompt_collection='ImageNet1K | CIFAR' uses the released 85-singular/
     68-plural templates (ref data/prompts.json, noun_dataset.py:148-254), and
@@ -467,7 +490,7 @@ def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root,
     # eval_cls with variant=multi and variant=guide on MNIST (digit vocab)
     cls_args = ["cls_dataset=MNIST", f"cls_dataset_root={mnist_root}",
                 "cls_split=valid", "batch_size_image=8"]
-    ckpts = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))
+    ckpts = [trained_ckpt]
     model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
                   "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
     for variant in ("multi", "guide"):
@@ -478,7 +501,7 @@ def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root,
         assert r["total"] == 16
 
 
-def test_cli_resume_from_reference_train_checkpoint(workdir, tmp_path):
+def test_cli_resume_from_reference_train_checkpoint(workdir, tmp_path, trained_ckpt):
     """action=train resumes from a REFERENCE torch .train checkpoint: params
     load through the interop path, loop counters resume, optimizer restarts
     (ref train.py:1057-1101 resume semantics; moments are torch-AdamW)."""
@@ -544,13 +567,13 @@ def test_cli_resume_from_reference_train_checkpoint(workdir, tmp_path):
     assert S.chunk_id == 8
 
 
-def test_cli_infer_guide_sources(workdir):
+def test_cli_infer_guide_sources(workdir, trained_ckpt):
     """infer_guide_targets / infer_guide_dataset restrict guided decoding
     (ref train.py:2468-2476 guide-source precedence)."""
     args = common_args(workdir)
     model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
                   "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
-    ckpt = sorted(glob.glob(f"{workdir}/outputs/ovod_*/*.npz"))[-1]
+    ckpt = trained_ckpt
 
     # Explicit list: every top-1 must come from it
     out = main(["action=infer", f"load_model={ckpt}", "gencfg=beam_k2_vnone_gr_t1_a0",

@@ -183,3 +183,24 @@ def test_wandb_init_kwargs_from_cfg():
     kw = wandb_init_kwargs(cfg)
     assert kw["entity"] == "e" and kw["name"] == "run1"
     assert kw["tags"] == ["tag1", "tag2"] and kw["job_type"] == "train"
+
+
+def test_sort_table_rows_spec():
+    """'[+|-][0]<header>' table sort (ref sort_table_rows train.py:4233-4266)."""
+    from novic_tpu.cli.actions_eval import sort_table_rows
+
+    headers = ("Model", "Top-1%")
+    rows = [("b", "12.5%"), ("a", "7.1%"), ("c", "101.0%")]
+    sort_table_rows(rows, headers, "model")
+    assert [r[0] for r in rows] == ["a", "b", "c"]
+    sort_table_rows(rows, headers, "-model")
+    assert [r[0] for r in rows] == ["c", "b", "a"]
+    # '0' prefix: numeric parse of the first float in the cell ("7.1%" < "12.5%"
+    # numerically but "12.5%" < "7.1%" lexically)
+    sort_table_rows(rows, headers, "0top-1%")
+    assert [r[1] for r in rows] == ["7.1%", "12.5%", "101.0%"]
+    sort_table_rows(rows, headers, "-0top-1%")
+    assert [r[1] for r in rows] == ["101.0%", "12.5%", "7.1%"]
+    # Missing header warns and falls back to column 0
+    sort_table_rows(rows, headers, "bogus")
+    assert [r[0] for r in rows] == ["a", "b", "c"]
