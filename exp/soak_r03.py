@@ -184,17 +184,16 @@ def main() -> None:
         from novic_tpu.data.cache import EmbeddingCache
         from novic_tpu.train.loop import compute_chunk_batches
         rows = EmbeddingCache(merged).header.embed_num
-        steps = int(args.epochs * rows / 8192)  # meta-batches of 1024x8
         chunk_scale = 2
-        # A chunk is ceil(num_targets * chunk_scale / batch_size) META-batches
-        # (ref train.py:990) -- at this vocab that is ~84 per chunk, NOT
-        # chunk_scale; deriving max_chunks from the real chunk size keeps the
-        # run at the requested epoch count.
+        # A chunk is ceil(num_targets * chunk_scale / batch_size) BATCHES of
+        # batch_size=1024 (ref train.py:990; accum groups 8 of them per
+        # optimizer step) -- at this vocab that is ~84 batches per chunk, NOT
+        # chunk_scale; deriving max_chunks from the real per-chunk sample
+        # count keeps the run at the requested epoch count.
         chunk_batches = compute_chunk_batches(len(vocab), chunk_scale, 1024)
-        max_chunks = max(round(steps / chunk_batches), 2)
-        print(f"[soak3] {rows} rows -> {steps} meta-steps of 8192 "
-              f"({args.epochs} epochs) = {max_chunks} chunks of "
-              f"{chunk_batches} meta-batches", flush=True)
+        max_chunks = max(round(args.epochs * rows / (chunk_batches * 1024)), 2)
+        print(f"[soak3] {rows} rows -> {args.epochs} epochs = {max_chunks} "
+              f"chunks of {chunk_batches} batches of 1024", flush=True)
         t0 = time.perf_counter()
         state, S, ewa = cli(["action=train", f"embedding_dataset={merged}",
                              f"max_chunks={max_chunks}", f"chunk_scale={chunk_scale}",
@@ -203,13 +202,16 @@ def main() -> None:
                             + model_args + common)
         train_time = time.perf_counter() - t0
         print(f"[soak3] trained {S.chunk_id - 1} chunks in {train_time / 60:.1f} min "
-              f"({S.batch_id * 8192 / train_time:,.0f} noun/s incl. IO): "
+              f"({S.batch_id * 1024 / train_time:,.0f} noun/s incl. host->chip feed "
+              f"over the axon tunnel): "
               f"loss {ewa.loss:.4f}, top1 {ewa.top1:.2%}", flush=True)
         ckpts = sorted(glob.glob(f"{W}/outputs/ovod_*/*.npz"))
     print(f"[soak3] checkpoint: {ckpts[-1]}", flush=True)
 
     # ---- Serving at full vocab scale -------------------------------------
     from novic_tpu.infer import NOVICModel
+
+    from novic_tpu.utils.misc import make_indefinite
 
     rng = np.random.default_rng(11)
     idx = rng.choice(len(vocab), size=min(args.probe, len(vocab)), replace=False)
@@ -223,7 +225,12 @@ def main() -> None:
         model = NOVICModel(ckpts[-1], gencfg=gencfg, batch_size=len(nouns))
         with model:
             emb = model.embedder
-            text_embeds = emb.inference_text([f"a photo of my {n}." for n in nouns])
+            # Probe texts MUST use a template from the training prompt
+            # collection: the hash embedder maps unseen templates to
+            # unrelated embeddings (CIFAR prompt 1 compiles to
+            # "a photo of {article noun}." — noun_dataset.py appends the '.')
+            text_embeds = emb.inference_text(
+                [f"a photo of {make_indefinite(n)}." for n in nouns])
             noise = rng.normal(size=text_embeds.shape).astype(np.float32)
             noise *= 1.0 / np.sqrt(text_embeds.shape[1])
             noisy = text_embeds + 0.25 * noise

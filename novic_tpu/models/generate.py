@@ -452,7 +452,7 @@ def generate_all(
     guide_targets: Optional[np.ndarray] = None,
     guide_renorm: bool = False,
     precompute: Optional[GenerateAllPrecompute] = None,
-    chunk: int = 128,
+    chunk: Optional[int] = None,
 ):
     """Teacher-force every guide target and return the per-sample top-k
     (ref embedding_decoder.py:1043-1079). Returns (targets BxKxC, paddings BxKxC, scores BxK)."""
@@ -468,6 +468,17 @@ def generate_all(
     W, C = gt.shape
     B = embed.shape[0]
     K = topk
+
+    if chunk is None:
+        # Each scan step materializes the step's full-vocab logits
+        # (B, chunk, C, V) f32 — at FT0 scale (W≈96.5k targets, V≈8k) a fixed
+        # chunk=128 with B=512 is a 23 GB tensor, far past one chip's HBM
+        # (measured OOM, exp/soak_r03.py round 3). Budget ~1.5 GB of logits
+        # (×2-3 with softmax intermediates still leaves headroom) and derive
+        # the chunk; total FLOPs are chunk-invariant, so smaller chunks only
+        # add scan-step overhead.
+        budget_elems = 384_000_000  # 1.5 GB f32
+        chunk = max(min(budget_elems // max(B * C * cfg.vocab_size, 1), 128), 8)
 
     # Pad W up to a multiple of the chunk size; padded rows are masked to -inf.
     n_chunks = -(-W // chunk)
@@ -501,8 +512,10 @@ def generate_all(
         logits = logits / temperature  # BxHxCxV
         if g_scores is not None:
             logits = logits + g_scores[None, :, :, :]
-        logp = jax.nn.log_softmax(logits, axis=3)
-        sc = jnp.take_along_axis(logp, tgt[:, :, :, None], axis=3)[:, :, :, 0]
+        # log_softmax-at-target via gather - logsumexp: avoids materializing
+        # a second (B, chunk, C, V) tensor (same trick as the train-step CE)
+        at = jnp.take_along_axis(logits, tgt[:, :, :, None], axis=3)[:, :, :, 0]
+        sc = at - jax.scipy.special.logsumexp(logits, axis=3)
         sc = jnp.where(g_pad[None, :, :], 0.0, sc)
         return carry, sc.sum(axis=2)  # BxH
 
