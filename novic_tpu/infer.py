@@ -657,9 +657,12 @@ def main(argv: Optional[Sequence[str]] = None):
 
     parser = argparse.ArgumentParser(description="NOVIC inference: open-vocabulary image classification")
     parser.add_argument("--checkpoint", required=True, help="Decoder checkpoint (.npz or reference .model/.train)")
+    parser.add_argument("--image_dir", default=None,
+                        help="Directory against which relative --images paths are resolved (ref infer.py:790)")
     parser.add_argument("--images", nargs="+", required=True, help="Image paths to classify")
     parser.add_argument("--embedder", default=None, help="Embedder spec override (TYPE:NAME)")
-    parser.add_argument("--gencfg", default="beam_k10_vnone_gn_t1_a0")
+    parser.add_argument("--gencfg", default="beam_k10_vnone_gp_t1_a0",
+                        help="Generation configuration name (reference default, ref infer.py:793)")
     parser.add_argument("--guide_targets", nargs="*", default=None)
     parser.add_argument("--guide_targets_file", default=None)
     parser.add_argument("--batch_size", type=int, default=64)
@@ -683,7 +686,11 @@ def main(argv: Optional[Sequence[str]] = None):
                        batch_size=args.batch_size, embedder_kwargs=embedder_kwargs)
     if args.guide_targets or args.guide_targets_file:
         model.set_guide_targets(args.guide_targets, args.guide_targets_file)
-    images = load_images(args.images)
+    image_paths = args.images
+    if args.image_dir:
+        image_paths = [p if os.path.isabs(p) else os.path.join(args.image_dir, p)
+                       for p in image_paths]
+    images = load_images(image_paths)
     with model:
         output = model.classify_images(images)
     reset = "\033[0m"

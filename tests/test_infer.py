@@ -253,3 +253,27 @@ def test_generation_task_list_pipelining_equals_sequential(trained_checkpoint):
         clone = make_tasks()[2]
         clone.ensure_precomputed(precompute_cache=tl.precompute_cache)
         assert clone.precompute is all_a0.precompute
+
+
+def test_infer_cli_image_dir(trained_checkpoint, tmp_path, capsys):
+    """CLI entry: relative --images resolve against --image_dir and the
+    reference's default guided gencfg runs (ref infer.py:785-835)."""
+    import PIL.Image
+
+    from novic_tpu.infer import main as infer_main
+
+    ckpt_path, _, _ = trained_checkpoint
+    rng = np.random.default_rng(7)
+    names = []
+    for i in range(2):
+        img = PIL.Image.fromarray(rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8))
+        img.save(tmp_path / f"img{i}.png")
+        names.append(f"img{i}.png")
+
+    infer_main(["--checkpoint", ckpt_path, "--image_dir", str(tmp_path),
+                "--images", *names, "--batch_size", "4"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "-->" in ln]
+    assert len(lines) == 2
+    for name, line in zip(names, lines):
+        assert name in line
