@@ -529,7 +529,14 @@ def convert_openclip_eva_vision(state_dict: dict, cfg) -> dict:
             "fc2_bias": _np(sd[f"{p}.mlp.fc2.bias"]),
         }
         if cfg.qkv_fused:
-            blk["qkv_weight"] = _np(sd[f"{p}.attn.qkv.weight"])
+            # timm stores one fused (3E, E) qkv weight with separate q/v bias
+            # params (k bias is a non-trainable zero); the flax tower always
+            # uses separate projections (eva.py EvaBlock) — split row-wise
+            wqkv = _np(sd[f"{p}.attn.qkv.weight"])
+            E = wqkv.shape[1]
+            blk["q_proj_weight"] = wqkv[:E]
+            blk["k_proj_weight"] = wqkv[E:2 * E]
+            blk["v_proj_weight"] = wqkv[2 * E:]
             blk["q_proj_bias"] = _np(sd[f"{p}.attn.q_bias"])
             blk["v_proj_bias"] = _np(sd[f"{p}.attn.v_bias"])
         else:

@@ -57,7 +57,9 @@ class EvaVisionConfig:
     ref_feat_shape: int = 16       # rope grid rescale target (timm ref_feat_shape)
     swiglu: bool = True            # SwiGLU MLP with inner LN (scale_mlp)
     inner_attn_norm: bool = True   # sub-LN on attention output (scale_attn_inner)
-    qkv_fused: bool = False        # enormous: fused qkv (k-bias fixed at zero)
+    qkv_fused: bool = False        # enormous: TORCH checkpoint stores fused qkv
+                                   # (k-bias a fixed zero); converter splits it —
+                                   # flax params are always separate q/k/v
     act: str = "gelu"              # plain-MLP act for the enormous variant
     layer_norm_eps: float = 1e-6
     compute_dtype: str = "bfloat16"
@@ -120,25 +122,23 @@ class EvaBlock(nn.Module):
         n1b = self.param("norm1_bias", nn.initializers.zeros, (E,))
         h = f32_layer_norm(x, n1w, n1b, eps, out_dtype=dt)
 
-        if cfg.qkv_fused:
-            # timm fused path: one (3E, E) matmul, biases for q/v only (k
-            # bias is a non-trainable zero in timm; omitted here entirely)
-            wqkv = self.param("qkv_weight", init, (3 * E, E))
-            bq = self.param("q_proj_bias", nn.initializers.zeros, (E,))
-            bv = self.param("v_proj_bias", nn.initializers.zeros, (E,))
-            qkv = tower_dense(h, wqkv, None, cfg.compute_dtype)
-            q = (qkv[..., :E] + bq).reshape(B, S, H, hd)
-            k = qkv[..., E:2 * E].reshape(B, S, H, hd)
-            v = (qkv[..., 2 * E:] + bv).reshape(B, S, H, hd)
-        else:
-            wq = self.param("q_proj_weight", init, (E, E))
-            bq = self.param("q_proj_bias", nn.initializers.zeros, (E,))
-            wk = self.param("k_proj_weight", init, (E, E))   # no bias (timm EvaAttention)
-            wv = self.param("v_proj_weight", init, (E, E))
-            bv = self.param("v_proj_bias", nn.initializers.zeros, (E,))
-            q = tower_dense(h, wq, bq, cfg.compute_dtype).reshape(B, S, H, hd)
-            k = tower_dense(h, wk, None, cfg.compute_dtype).reshape(B, S, H, hd)
-            v = tower_dense(h, wv, bv, cfg.compute_dtype).reshape(B, S, H, hd)
+        # Always three separate (E, E) projections, k without bias (timm
+        # EvaAttention; for qkv_fused archs timm's k bias is a non-trainable
+        # zero and the converter splits the fused (3E, E) weight row-wise).
+        # Deliberately NOT one fused (3E, E) matmul: XLA pays layout copies
+        # slicing the fused output (measured 1.77x slower, BENCH_NOTES
+        # "Compute-time QKV fusion"), and under tensor-parallel serving a
+        # contiguously-sharded fused weight would split shards across the
+        # q/k/v boundary, forcing per-block reshard collectives
+        # (parallel/tp.py column-parallel layout).
+        wq = self.param("q_proj_weight", init, (E, E))
+        bq = self.param("q_proj_bias", nn.initializers.zeros, (E,))
+        wk = self.param("k_proj_weight", init, (E, E))
+        wv = self.param("v_proj_weight", init, (E, E))
+        bv = self.param("v_proj_bias", nn.initializers.zeros, (E,))
+        q = tower_dense(h, wq, bq, cfg.compute_dtype).reshape(B, S, H, hd)
+        k = tower_dense(h, wk, None, cfg.compute_dtype).reshape(B, S, H, hd)
+        v = tower_dense(h, wv, bv, cfg.compute_dtype).reshape(B, S, H, hd)
 
         if rope is not None:
             # rope covers patch tokens only; the class token (index 0) passes

@@ -101,6 +101,9 @@ class FastDropout(nn.Module):
             return x
         keep = 1.0 - self.rate
         if self.impl == "pallas" and supports_shape(x.size):
+            if jax.default_backend() not in ("tpu", "axon"):
+                raise ValueError("dropout_impl=pallas requires a TPU backend "
+                                 f"(got '{jax.default_backend()}'); use 'auto'/'threefry'")
             rng = self.make_rng("dropout")
             seed = jax.random.bits(rng, (2,), jnp.uint32)  # full 64-bit key space
             return hw_dropout(x, seed, self.rate).astype(x.dtype)

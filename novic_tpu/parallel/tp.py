@@ -26,11 +26,14 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Leaf-name -> (column|row|bias_col|replicated) classification.
-# fc1_g/fc1_x/mlp_norm + qkv_weight cover the EVA02 trunk (embedders/eva.py):
-# SwiGLU's inner LN runs over the TP-sharded hidden dim — GSPMD inserts the
-# cross-shard mean/var collectives, one extra all-reduce per block.
+# fc1_g/fc1_x/mlp_norm cover the EVA02 trunk (embedders/eva.py): SwiGLU's
+# inner LN runs over the TP-sharded hidden dim — GSPMD inserts the
+# cross-shard mean/var collectives, one extra all-reduce per block. Fused-qkv
+# torch checkpoints are split into separate q/k/v at conversion (eva.py,
+# convert.py) precisely so column-parallel sharding never crosses the
+# q/k/v boundary.
 _COLUMN = ("q_proj_weight", "k_proj_weight", "v_proj_weight", "fc1_weight",
-           "map_fc1_weight", "fc1_g_weight", "fc1_x_weight", "qkv_weight")
+           "map_fc1_weight", "fc1_g_weight", "fc1_x_weight")
 _COLUMN_BIAS = ("q_proj_bias", "k_proj_bias", "v_proj_bias", "fc1_bias",
                 "map_fc1_bias", "fc1_g_bias", "fc1_x_bias",
                 "mlp_norm_weight", "mlp_norm_bias")

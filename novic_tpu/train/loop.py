@@ -266,8 +266,7 @@ def train(
                     S.saved_num += 1
                     S.saved_chunk_id = save_chunk_id
                     S.saved_ewa_train_top1_max = max(S.saved_ewa_train_top1_max, ewa.top1)
-                    path = save_fn(save_chunk_id, state, S)
-                    log.info(f"Saved checkpoint: {path}")
+                    save_fn(save_chunk_id, state, S)  # save_checkpoint logs each file written
 
                 if stop_training:
                     break

@@ -38,11 +38,14 @@ class MetricsLogger:
                 import wandb
 
                 self._wandb = wandb
-                # entity/group/tags/job_type passthrough (ref wandb_* keys,
+                # entity/group/name/tags/job_type passthrough (ref wandb_* keys,
                 # ref config/train.yaml:24-33); falsy values are dropped so
-                # empty-string config defaults don't override wandb's own
-                wandb.init(project=project, config=config, name=name,
-                           **{k: v for k, v in (wandb_kwargs or {}).items() if v})
+                # empty-string config defaults don't override wandb's own.
+                # The explicit name= param wins over wandb_kwargs['name'].
+                kw = {k: v for k, v in (wandb_kwargs or {}).items() if v}
+                if name:
+                    kw["name"] = name
+                wandb.init(project=project, config=config, **kw)
             except ImportError:
                 _console.warning("wandb requested but not installed => local JSONL only")
 

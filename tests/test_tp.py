@@ -106,10 +106,16 @@ def test_tp_eva_tower_matches_single_device(qkv_fused, swiglu):
     emb.set_mesh(mesh, mode="tp")
     out_tp = emb.inference_image(imgs)
     np.testing.assert_allclose(out_tp, out_single, atol=2e-5)
-    # The fused qkv / SwiGLU gate params are genuinely column-sharded
+    # q/k/v + SwiGLU gate params are genuinely column-sharded (fused-qkv
+    # archs store separate projections too — the converter splits the torch
+    # fused weight so TP shards never cross the q/k/v boundary)
     block = emb._vision_params["blocks_0"]
-    leaf = block["qkv_weight"] if qkv_fused else block["fc1_g_weight"]
-    assert leaf.sharding.spec == jax.sharding.PartitionSpec("model", None)
+    assert "qkv_weight" not in block
+    leaves = [block["q_proj_weight"], block["k_proj_weight"], block["v_proj_weight"]]
+    if not qkv_fused:
+        leaves.append(block["fc1_g_weight"])
+    for leaf in leaves:
+        assert leaf.sharding.spec == jax.sharding.PartitionSpec("model", None)
 
 
 def test_dp_tp_2d_mesh():

@@ -173,6 +173,19 @@ def test_metrics_logger_wandb_kwargs(monkeypatch, tmp_path):
     assert calls["group"] == "g" and calls["tags"] == ["a", "b"]
     assert "entity" not in calls and "job_type" not in calls  # falsy dropped
 
+    # wandb_kwargs carrying 'name' (what cli.common.wandb_init_kwargs emits
+    # when wandb_name is set) must not collide with the name= parameter
+    calls.clear()
+    m = MetricsLogger(run_dir=str(tmp_path), use_wandb=True, project="p",
+                      wandb_kwargs={"name": "from_cfg", "group": "g"})
+    m.finish()
+    assert calls["name"] == "from_cfg"
+    calls.clear()
+    m = MetricsLogger(run_dir=str(tmp_path), use_wandb=True, project="p",
+                      name="explicit", wandb_kwargs={"name": "from_cfg"})
+    m.finish()
+    assert calls["name"] == "explicit"  # explicit param wins
+
 
 def test_wandb_init_kwargs_from_cfg():
     from novic_tpu.cli.common import wandb_init_kwargs
