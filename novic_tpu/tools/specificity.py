@@ -10,6 +10,16 @@ import json
 from novic_tpu.cli.actions_eval import CATEGORY_WEIGHTS
 
 
+def default_specificity_path() -> str:
+    """The released per-noun specificity annotations shipped with the repo
+    (verbatim copy of reference extras/specificity/_specificity_annotations.json;
+    5,547 entries -> factor in {0.5, 1.0}, incl. a ""->0.5 fallback row)."""
+    import os
+
+    from novic_tpu.utils.config import source_dir
+    return os.path.join(source_dir(), "data", "specificity_annotations.json")
+
+
 def specificity_score(predictions: dict, annotations: dict,
                       specificity: dict[str, float],
                       default_factor: float = 1.0) -> dict:
@@ -43,7 +53,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description="Specificity-weighted prediction scores")
     p.add_argument("--predictions", required=True)
     p.add_argument("--annotations", required=True)
-    p.add_argument("--specificity", required=True)
+    p.add_argument("--specificity", default=default_specificity_path(),
+                   help="per-noun specificity JSON (default: shipped released asset)")
     a = p.parse_args()
     with open(a.predictions) as f:
         preds = json.load(f)

@@ -143,6 +143,26 @@ def test_specificity_score():
     assert abs(scores[("m", "g")] - (1.0 * 0.9 + 0.5 * 1.0) / 2) < 1e-9
 
 
+def test_specificity_shipped_asset():
+    """The released specificity annotations ship with the repo (reference
+    extras/specificity/_specificity_annotations.json) and work end-to-end."""
+    from novic_tpu.tools.specificity import default_specificity_path
+    with open(default_specificity_path()) as f:
+        spec = json.load(f)
+    assert len(spec) > 5000
+    assert spec[""] == 0.5  # fallback row for empty predictions
+    assert all(isinstance(k, str) and v in (0.5, 1) for k, v in spec.items())
+    # Spot-check released factors and run them through the scorer
+    assert spec["shrub"] == 0.5 and spec["flagship"] == 1
+    preds = {"keys": ["/d/a.jpg"],
+             "models": {"m": {"gencfgs": {"g": {"pred": [["shrub"]],
+                                                "score": [[0.0]],
+                                                "result": [["valid"]]}}}}}
+    anns = {"a.jpg": {"correct_primary": ["shrub"]}}
+    scores = specificity_score(preds, anns, spec)
+    assert abs(scores[("m", "g")] - 1.0 * 0.5) < 1e-9
+
+
 class _FakeRemote:
     """Offline OpenAI Batch API double: files + batches with a controllable
     completion schedule (completes a batch after `lag` polls)."""
