@@ -39,6 +39,9 @@ DUMP_FILES = (
     "ref_labels_beam_k10_vnone_gp_t1_a0.json",
     "ref_labels_greedy_k1_vnone_gp_t1_a0.json",
     "ref_labels_all_k5_vnone_gp_t1_a0.json",
+    # Seeded reference noise-distribution stats (noise_diff.py caches by spec
+    # hash in the file's _meta; stale copies are ignored, not harmful)
+    "ref_noise.json",
 )
 KEY_DIRS = ("hf_model",)
 

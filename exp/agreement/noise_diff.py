@@ -74,24 +74,51 @@ def main() -> None:
     with open(spec_json, "w") as f:
         json.dump(SPECS, f)
 
-    from run_agreement import _make_shims
+    # The reference driver seeds torch.manual_seed(123) and the base vector is
+    # seeded above, so its stats are DETERMINISTIC per (SPECS, N, F): reuse a
+    # prior run's dump when the key matches (the 1M seeded torch draws take
+    # >20 min on a contended single core). NOISE_DIFF_REFRESH=1 forces re-run.
+    import hashlib
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REF + os.pathsep + _make_shims()
-    env.pop("JAX_PLATFORMS", None)
-    driver = os.path.join(REPO, "exp", "agreement", "ref_driver.py")
+    key = hashlib.sha256(
+        json.dumps({"specs": SPECS, "n": N, "f": F}, sort_keys=True).encode()
+    ).hexdigest()
     out = os.path.join(WORK, "ref_noise.json")
-    proc = subprocess.run([sys.executable, driver, "noise", "--spec-json",
-                           spec_json, "--base-npz", base_npz, "--num", str(N),
-                           "--out", out],
-                          env=env, cwd=REF, capture_output=True, text=True,
-                          timeout=3600)
-    sys.stdout.write(proc.stdout)
-    if proc.returncode != 0:
-        sys.stderr.write(proc.stderr)
-        raise RuntimeError(f"ref noise failed rc={proc.returncode}")
-    with open(out) as f:
-        ref = json.load(f)
+    ref = None
+    if not os.environ.get("NOISE_DIFF_REFRESH"):
+        try:
+            with open(out) as f:
+                cached = json.load(f)
+            if cached.get("_meta", {}).get("key") == key:
+                ref = cached
+                log("reusing cached reference stats (seeded => deterministic); "
+                    "NOISE_DIFF_REFRESH=1 re-runs the reference")
+        except (OSError, ValueError):
+            pass
+    if ref is None:
+        from run_agreement import _make_shims
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REF + os.pathsep + _make_shims()
+        env.pop("JAX_PLATFORMS", None)
+        driver = os.path.join(REPO, "exp", "agreement", "ref_driver.py")
+        proc = subprocess.run([sys.executable, driver, "noise", "--spec-json",
+                               spec_json, "--base-npz", base_npz, "--num", str(N),
+                               "--out", out],
+                              env=env, cwd=REF, capture_output=True, text=True,
+                              timeout=3600)
+        sys.stdout.write(proc.stdout)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"ref noise failed rc={proc.returncode}")
+        with open(out) as f:
+            ref = json.load(f)
+        ref["_meta"] = {"key": key}
+        with open(out, "w") as f:
+            json.dump(ref, f)
+        from fixture_store import snapshot
+
+        snapshot()  # mirror the dump durably alongside the other fixtures
 
     import jax
 
