@@ -102,9 +102,9 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pad_bias = pad_bias.at[:, S:].set(-1e30)  # mask padded keys
 
     spec = pl.BlockSpec((1, 1, Sp, hdp), lambda b, h: (b, h, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     bias_spec = pl.BlockSpec((Sp, Sp), lambda b, h: (0, 0),
-                             memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                             memory_space=pl.ANY if interpret else pltpu.VMEM)
 
     def wrap(kernel):
         def inner(*refs):
