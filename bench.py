@@ -352,12 +352,13 @@ def main():
     if WEIGHTS:
         suffix += "_trained"
     result = {
-        "metric": f"end_to_end_images_per_sec_b256_siglip_b16_beam_k10{suffix}",
+        # b256 in the default name; a BENCH_BATCH override names its true batch
+        "metric": f"end_to_end_images_per_sec_b{BATCH}_siglip_b16_beam_k10{suffix}",
         "value": round(beam_ips, 2),
         "unit": "img/s",
         "vs_baseline": round(beam_ips / BASELINE_IMG_PER_SEC, 3),
         "extra": {
-            "greedy_img_per_sec_b256": round(greedy_ips, 2),
+            f"greedy_img_per_sec_b{BATCH}": round(greedy_ips, 2),
             "greedy_vs_baseline": round(greedy_ips / BASELINE_IMG_PER_SEC, 3),
             "single_image_p50_ms_beam_k10": round(p50_ms, 3),
             "single_image_p50_vs_baseline_26ms": round(26.0 / p50_ms, 3),
