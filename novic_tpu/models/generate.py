@@ -453,6 +453,7 @@ def generate_all(
     guide_renorm: bool = False,
     precompute: Optional[GenerateAllPrecompute] = None,
     chunk: Optional[int] = None,
+    max_scan_chunks: int = 256,
 ):
     """Teacher-force every guide target and return the per-sample top-k
     (ref embedding_decoder.py:1043-1079). Returns (targets BxKxC, paddings BxKxC, scores BxK)."""
@@ -480,8 +481,16 @@ def generate_all(
         budget_elems = 384_000_000  # 1.5 GB f32
         chunk = max(min(budget_elems // max(B * C * cfg.vocab_size, 1), 128), 8)
 
-    # Pad W up to a multiple of the chunk size; padded rows are masked to -inf.
+    # Pad W up to a whole number of scan slices: a SINGLE scan over all
+    # chunks is one XLA program whose run time grows linearly in W — at FT0
+    # scale (42,919 targets = 3,902 chunk steps in one program) it reliably
+    # kills the remote (axon) TPU worker, while <=256-step slices run clean
+    # (exp/soak_r03.py round 3). Each slice is one jitted call (compiled
+    # once; ~32 ms dispatch each); padded rows are masked to -inf.
     n_chunks = -(-W // chunk)
+    scan_len = max(1, min(n_chunks, max_scan_chunks))
+    n_super = -(-n_chunks // scan_len)
+    n_chunks = n_super * scan_len
     Wp = n_chunks * chunk
     gt_p = np.zeros((Wp, C), dtype=np.int32)
     gt_p[:W] = gt
@@ -498,29 +507,50 @@ def generate_all(
     gp_d = jnp.asarray(gp_p).reshape(n_chunks, chunk, C)
     gs_d = jnp.asarray(gs_p).reshape(n_chunks, chunk, C, cfg.vocab_size) if gs_p is not None else None
 
-    def score_chunk(carry, inputs):
-        if gs_d is not None:
-            g_tok, g_pad, g_scores = inputs
-        else:
-            g_tok, g_pad = inputs
-            g_scores = None
-        tgt = jnp.broadcast_to(g_tok[None, :, :], (B, chunk, C))
-        logits, _, _, _, _ = model.apply(
-            {"params": params}, embed, tgt, None, None,
-            calc_loss=False, calc_correct=False, only_pred=False,
-            guide_targets=None, multi_first=False, deterministic=True)
-        logits = logits / temperature  # BxHxCxV
-        if g_scores is not None:
-            logits = logits + g_scores[None, :, :, :]
-        # log_softmax-at-target via gather - logsumexp: avoids materializing
-        # a second (B, chunk, C, V) tensor (same trick as the train-step CE)
-        at = jnp.take_along_axis(logits, tgt[:, :, :, None], axis=3)[:, :, :, 0]
-        sc = at - jax.scipy.special.logsumexp(logits, axis=3)
-        sc = jnp.where(g_pad[None, :, :], 0.0, sc)
-        return carry, sc.sum(axis=2)  # BxH
+    def scan_slice(p, emb_b, *xs):
+        # params/embed are jit ARGUMENTS, not closures: a closure would
+        # inline the 51 MB decoder as HLO constants into the remote (axon)
+        # compile request.
+        def score_chunk(carry, inputs):
+            if len(xs) == 3:
+                g_tok, g_pad, g_scores = inputs
+            else:
+                (g_tok, g_pad), g_scores = inputs, None
+            # Flatten to 2D targets (chunk*B, C) instead of the model's 3D
+            # multi-target path: the latter reshapes logits to
+            # (B, chunk, C, V), and XLA's chosen layout tiles the
+            # size-`chunk` dim up to the 128-lane width — measured 11.6x
+            # padding expansion (15.6 GB for a 1.34 GB tensor, OOM at FT0
+            # scale; exp/soak_r03.py round 3). The flat (chunk*B, C, V)
+            # logits lay out at 1.0x. Rows are guide-major (row = g*B + b)
+            # so the renorm mask repeats contiguously.
+            tgt = jnp.repeat(g_tok, B, axis=0)              # (chunk*B, C)
+            emb = jnp.tile(emb_b, (chunk, 1))               # (chunk*B, F)
+            logits, _, _, _, _ = model.apply(
+                {"params": p}, emb, tgt, None, None,
+                calc_loss=False, calc_correct=False, only_pred=False,
+                guide_targets=None, multi_first=False, deterministic=True)
+            logits = logits / temperature  # (chunk*B, C, V)
+            if g_scores is not None:
+                logits = logits + jnp.repeat(g_scores, B, axis=0)
+            # log_softmax-at-target via gather - logsumexp: avoids
+            # materializing a second (chunk*B, C, V) tensor (same trick as
+            # the train-step CE)
+            at = jnp.take_along_axis(logits, tgt[:, :, None], axis=2)[:, :, 0]
+            sc = at - jax.scipy.special.logsumexp(logits, axis=2)
+            sc = sc.reshape(chunk, B, C)
+            sc = jnp.where(g_pad[:, None, :], 0.0, sc)
+            return carry, sc.sum(axis=2).T  # BxH
 
-    xs = (gt_d, gp_d, gs_d) if gs_d is not None else (gt_d, gp_d)
-    _, chunk_scores = jax.lax.scan(score_chunk, None, xs)  # (n_chunks, B, chunk)
+        return jax.lax.scan(score_chunk, None, xs)[1]  # (scan_len, B, chunk)
+
+    scan_jit = jax.jit(scan_slice)
+    parts = []
+    for s in range(n_super):
+        sl = slice(s * scan_len, (s + 1) * scan_len)
+        xs_s = (gt_d[sl], gp_d[sl]) + ((gs_d[sl],) if gs_d is not None else ())
+        parts.append(scan_jit(params, embed, *xs_s))
+    chunk_scores = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     scores = jnp.transpose(chunk_scores, (1, 0, 2)).reshape(B, Wp)
 
     if precompute.vocab_scores is not None:
