@@ -411,3 +411,30 @@ def test_generate_all_beam_consistency(model_and_params):
     G = CMAX - 1
     np.testing.assert_array_equal(np.asarray(t_all)[:, 0, :G],
                                   np.asarray(t_beam)[:, 0, :t_all.shape[2]][:, :G])
+
+
+def test_generate_all_scan_slicing_invariant(model_and_params):
+    """Splitting the scoring scan into multiple jitted slices (max_scan_chunks)
+    must not change results — the slicing exists only to bound per-program run
+    time at FT0 scale (one 3,902-step scan killed the remote TPU worker;
+    BENCH_NOTES 'Round-3 soak')."""
+    model, params = model_and_params
+    guides = np.zeros((7, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    guides[4, :3] = [3, 3, 0]
+    guides[5, :2] = [2, 0]
+    guides[6, :4] = [9, 4, 1, 0]
+    embed = unit_embeds(jax.random.PRNGKey(24), 3)
+    for renorm in (False, True):
+        # chunk=2 over 7 guides = 4 chunks: one slice vs four 1-chunk slices
+        one = generate_all(model, params, embed, topk=5, guide_targets=guides,
+                           guide_renorm=renorm, chunk=2)
+        many = generate_all(model, params, embed, topk=5, guide_targets=guides,
+                            guide_renorm=renorm, chunk=2, max_scan_chunks=1)
+        np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(many[0]))
+        np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(many[1]))
+        np.testing.assert_allclose(np.asarray(one[2]), np.asarray(many[2]),
+                                   rtol=1e-6, atol=1e-6)
