@@ -58,6 +58,8 @@ SMALL = os.environ.get("BENCH_SMALL", "") not in ("", "0")  # tiny towers for CP
 BACKBONE = os.environ.get("BENCH_BACKBONE", "")
 TOKLEN = int(os.environ.get("BENCH_TOKLEN", 0))
 WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
+# A/B the beam KV-cache strategy: "" (generate_beam's auto), "lazy", "reorder"
+BEAM_CACHE = os.environ.get("BENCH_BEAM_CACHE", "auto")
 
 # Per-backbone baselines: reference A6000 fp16-AMP image embed rates (B=256)
 # and text embed rates (B=512, "Text Speed" column; cache-creation workload)
@@ -303,7 +305,7 @@ def main():
         # The reference's product default is beam k=10 (ref infer.py:55);
         # its 143 img/s baseline is beam decode end-to-end (paper §4).
         embeds = embed_batch(v_params, raw_images)
-        out = generate_beam(decoder, d_params, embeds, topk=10)
+        out = generate_beam(decoder, d_params, embeds, topk=10, cache_mode=BEAM_CACHE)
         target, padding = out[0], out[1]
         return (target.sum() + padding.sum()).astype(jnp.float32)
 

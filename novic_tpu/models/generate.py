@@ -182,15 +182,33 @@ def generate_beam(
     vocab_scaler: float = 0.0,
     guide_targets: Optional[jnp.ndarray] = None,
     guide_renorm: bool = False,
+    cache_mode: str = "auto",
 ):
     """Batched KV-cached beam search. Returns (target BxHxG, padding BxHxG, scores BxH),
-    descending score order per sample."""
+    descending score order per sample.
+
+    cache_mode selects how candidate reordering reaches the KV caches:
+
+    * ``"lazy"`` — token caches are slot-stationary; attention selects each
+      candidate's history via an additive ancestry bias over all H*G slots
+      (TransformerLayer.step_lazy). Moves ~3x less HBM data per step than
+      reordering the caches; identical math (softmax over -inf-masked slots
+      == softmax over the gathered path).
+    * ``"reorder"`` — per-step one-hot-matmul permutation of the token caches
+      (the round-2 design; kept for differential testing).
+    * ``"auto"`` — the measured-fastest mode (lazy).
+    """
     cfg = model.cfg
     B = embed.shape[0]
     H = topk
     G = cfg.token_length - 1
     V = cfg.vocab_size
     bound = model.bind({"params": params})
+    if cache_mode == "auto":
+        cache_mode = "lazy"
+    if cache_mode not in ("lazy", "reorder"):
+        raise ValueError(f"Unsupported beam cache_mode: {cache_mode}")
+    lazy = cache_mode == "lazy"
 
     have_guide = guide_targets is not None
     use_vocab = vocab_targets is not None and vocab_scaler != 0
@@ -213,6 +231,9 @@ def generate_beam(
     logits1_base, pk, pv = bound.prefill_split(embed)  # caches (B,P,heads,hd)
     tk0, tv0 = bound.init_token_cache(B * H)           # (B*H,G,heads,hd)
     logits1 = jnp.broadcast_to(logits1_base[:, None, :], (B, H, V))
+    # Lazy cache: anc[b,c,g] = candidate-slot row holding candidate c's token
+    # from step g+1 (-1 = not yet generated).
+    anc0 = jnp.full((B, H, G), -1, dtype=jnp.int32) if lazy else None
 
     target0 = jnp.zeros((B, H, G), dtype=jnp.int32)
     padding0 = jnp.ones((B, H, G), dtype=bool).at[:, 0, 0].set(False)
@@ -228,7 +249,7 @@ def generate_beam(
         return x[b, cand]
 
     def body(carry, step):
-        (logits_raw, target, padding, score, guide_mask, vocab_mask, seq_len, k, v) = carry
+        (logits_raw, target, padding, score, guide_mask, vocab_mask, seq_len, anc, k, v) = carry
         Cm = step - 1
 
         finished = jax.lax.dynamic_index_in_dim(padding, Cm, axis=2, keepdims=False)  # (B,H): padding at pos C-1
@@ -313,34 +334,47 @@ def generate_beam(
         if use_alpha:
             seq_len = gather_h(seq_len, cand) + (~new_finished).astype(seq_len.dtype)
 
-        # Reorder the token-slot KV caches by candidate, then run one decode
-        # step against the shared (un-gathered) prefix caches. The reorder is a
-        # one-hot batched matmul, NOT a gather: XLA's TPU gather kernel measured
-        # 109 ms of a 135 ms beam batch (31 GB/s effective), while the matmul
-        # permutation runs at bandwidth (exact: one unit coefficient per row).
-        onehot = jax.nn.one_hot(cand, H, dtype=k[0].dtype)  # (B, Hout, Hin)
+        if lazy:
+            # Slot-stationary caches: thread the ancestry through the gather
+            # instead of the (B*H, G, heads, hd) caches themselves, and let
+            # attention select each candidate's history with an additive bias
+            # (see TransformerLayer.step_lazy). anc is (B,H,G) int32 vs the
+            # caches' 2L*(B*H,G,heads,hd) — ~4000x less reorder traffic.
+            anc = gather_h(anc, cand)
+            anc = jax.lax.dynamic_update_index_in_dim(
+                anc, jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (B, H)), Cm, axis=2)
+            allowed = anc[:, :, None, :] == jnp.arange(H, dtype=jnp.int32)[None, None, :, None]
+            anc_bias = jnp.where(allowed.reshape(B, H, 1, H * G), 0.0, NEG_INF)  # (B,c,1,r*G+g)
+            logits_next, k, v = bound.decode_step_lazy(tok.reshape(-1), step, pk, pv, k, v, anc_bias)
+        else:
+            # Reorder the token-slot KV caches by candidate, then run one decode
+            # step against the shared (un-gathered) prefix caches. The reorder is a
+            # one-hot batched matmul, NOT a gather: XLA's TPU gather kernel measured
+            # 109 ms of a 135 ms beam batch (31 GB/s effective), while the matmul
+            # permutation runs at bandwidth (exact: one unit coefficient per row).
+            onehot = jax.nn.one_hot(cand, H, dtype=k[0].dtype)  # (B, Hout, Hin)
 
-        def reorder(x):
-            xr = x.reshape(B, H, -1)
-            out = jnp.einsum("bij,bjf->bif", onehot, xr,
-                             preferred_element_type=xr.dtype)
-            return out.reshape(x.shape)
+            def reorder(x):
+                xr = x.reshape(B, H, -1)
+                out = jnp.einsum("bij,bjf->bif", onehot, xr,
+                                 preferred_element_type=xr.dtype)
+                return out.reshape(x.shape)
 
-        k = [reorder(kc) for kc in k]
-        v = [reorder(vc) for vc in v]
-        logits_next, k, v = bound.decode_step_split(tok.reshape(-1), step, pk, pv, k, v)
+            k = [reorder(kc) for kc in k]
+            v = [reorder(vc) for vc in v]
+            logits_next, k, v = bound.decode_step_split(tok.reshape(-1), step, pk, pv, k, v)
         logits_next = logits_next.reshape(B, H, V)
 
         score_out = new_score_normed if use_alpha else new_score
         return (logits_next, target, padding, new_score if not use_alpha else new_score,
-                guide_mask, vocab_mask, seq_len, k, v), score_out
+                guide_mask, vocab_mask, seq_len, anc, k, v), score_out
 
-    carry = (logits1, target0, padding0, score0, guide_mask0, vocab_mask0, seq_len0, tk0, tv0)
+    carry = (logits1, target0, padding0, score0, guide_mask0, vocab_mask0, seq_len0, anc0, tk0, tv0)
     # NB: raw (unnormalized) cumulative score threads the carry; normalized score is emitted.
     # unroll: straight-line steps let XLA alias the KV-cache carries through
     # the per-step candidate reorder (scan carries otherwise add a copy per
     # step; measured on-chip)
-    (logits_f, target, padding, score_raw, _, _, _, _, _), score_seq = jax.lax.scan(
+    (logits_f, target, padding, score_raw, _, _, _, _, _, _), score_seq = jax.lax.scan(
         body, carry, jnp.arange(1, G + 1), unroll=True)
 
     target = jnp.where(padding, 0, target)

@@ -483,6 +483,64 @@ class TransformerLayer(nn.Module):
             x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
         return x, tk, tv
 
+    def step_lazy(self, x: jnp.ndarray, pk: jnp.ndarray, pv: jnp.ndarray,
+                  tk: jnp.ndarray, tv: jnp.ndarray, anc_bias: jnp.ndarray, step: jnp.ndarray):
+        """Lazy-cache beam step: the token caches are NEVER reordered.
+
+        Beam search's per-step candidate reorder of the (Bb*R, G, H, hd) token
+        caches is pure data movement (measured at the HBM permutation floor,
+        exp/beam_reorder_kernel.py). Instead, each step writes the new token's
+        K/V at (row = its own candidate slot, col = step-1) and leaves history
+        rows where their ORIGINAL candidates wrote them; every candidate then
+        attends over all R*G slots with an additive ancestry bias selecting
+        exactly its path (0 on ancestor slots, -inf elsewhere). Softmax over
+        {-inf-masked} slots is mathematically identical to softmax over the
+        reordered path, so beam results are unchanged (same math as the
+        reference's re-forward, ref embedding_decoder.py:905-916) while the
+        3x-cache-size reorder traffic per step disappears.
+
+        x: (B,1,E) with B = Bb*R; pk/pv (Bb,P,H,hd) frozen shared prefix;
+        tk/tv (B,G,H,hd) slot-stationary token caches; anc_bias
+        (Bb,R,1,R*G) f32 additive scores bias (slot k = r*G + g).
+        """
+        cfg = self.cfg
+        if cfg.layer_norm_first:
+            h = layer_norm(x, self.norm1_weight, self.norm1_bias)
+        else:
+            h = x
+        q, k_new, v_new = self._qkv(h)  # (B,1,H,hd)
+        tk = jax.lax.dynamic_update_slice(tk, k_new.astype(tk.dtype), (0, step - 1, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, v_new.astype(tv.dtype), (0, step - 1, 0, 0))
+        B = x.shape[0]
+        Bb, P = pk.shape[0], pk.shape[1]
+        R = B // Bb
+        G = tk.shape[1]
+        H, hd = cfg.num_heads, cfg.head_dim
+        scale = 1.0 / math.sqrt(hd)
+        qs = (q * scale).reshape(Bb, R, H, hd)
+        sp = jnp.einsum("brhd,bphd->brhp", qs, pk,
+                        preferred_element_type=jnp.float32, precision=self.precision)
+        tkr = tk.reshape(Bb, R * G, H, hd)
+        st = jnp.einsum("brhd,bkhd->brhk", qs, tkr,
+                        preferred_element_type=jnp.float32, precision=self.precision)
+        st = st + anc_bias  # broadcast over the head axis
+        attn = jax.nn.softmax(jnp.concatenate([sp, st], axis=-1), axis=-1)  # (Bb,R,H,P+R*G)
+        out_p = jnp.einsum("brhp,bphd->brhd", attn[:, :, :, :P], pv,
+                           preferred_element_type=jnp.float32, precision=self.precision)
+        out_t = jnp.einsum("brhk,bkhd->brhd", attn[:, :, :, P:], tv.reshape(Bb, R * G, H, hd),
+                           preferred_element_type=jnp.float32, precision=self.precision)
+        out = (out_p + out_t).reshape(B, 1, cfg.hidden_dim)
+        out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
+        if self.scale1 is not None:
+            out = out * self.scale1
+        if cfg.layer_norm_first:
+            x = x + out
+            x = x + self._ff_block(layer_norm(x, self.norm2_weight, self.norm2_bias), deterministic=True)
+        else:
+            x = layer_norm(x + out, self.norm1_weight, self.norm1_bias)
+            x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
+        return x, tk, tv
+
     def prefill(self, x: jnp.ndarray, attn_bias: jnp.ndarray, k_cache: jnp.ndarray,
                 v_cache: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Multi-token forward that also fills the KV cache at positions [0, S)."""
@@ -569,6 +627,18 @@ class Transformer(nn.Module):
         for i, layer in enumerate(self.layers):
             x, tk, tv = layer.step_split(x, pk_caches[i], pv_caches[i],
                                          tk_caches[i], tv_caches[i], step)
+            new_tk.append(tk)
+            new_tv.append(tv)
+        if self.norm_weight is not None:
+            x = layer_norm(x, self.norm_weight, self.norm_bias)
+        return x, new_tk, new_tv
+
+    def step_lazy(self, x, pk_caches, pv_caches, tk_caches, tv_caches, anc_bias, step):
+        """Lazy-cache beam step (see TransformerLayer.step_lazy)."""
+        new_tk, new_tv = [], []
+        for i, layer in enumerate(self.layers):
+            x, tk, tv = layer.step_lazy(x, pk_caches[i], pv_caches[i],
+                                        tk_caches[i], tv_caches[i], anc_bias, step)
             new_tk.append(tk)
             new_tv.append(tv)
         if self.norm_weight is not None:

@@ -349,3 +349,16 @@ class PrefixedIterDecoder(nn.Module):
         x, tk_caches, tv_caches = self.transformer.step_split(
             x, pk_caches, pv_caches, tk_caches, tv_caches, step)
         return self.logits(x[:, 0, :]), tk_caches, tv_caches
+
+    def decode_step_lazy(self, token_ids: jnp.ndarray, step: jnp.ndarray,
+                         pk_caches, pv_caches, tk_caches, tv_caches, anc_bias):
+        """Lazy-cache beam decode step: token caches are slot-stationary and
+        the candidate's history is selected by an additive ancestry bias in
+        attention instead of reordering the caches (TransformerLayer.step_lazy)."""
+        cfg = self.cfg
+        pos = cfg.mlp_seq_len + step - 1
+        x = self.embed_tokens(token_ids)[:, None, :]  # Bx1xE
+        x = x + jax.lax.dynamic_slice_in_dim(self.pos_embedding, pos, 1, axis=0)[None, :, :]
+        x, tk_caches, tv_caches = self.transformer.step_lazy(
+            x, pk_caches, pv_caches, tk_caches, tv_caches, anc_bias, step)
+        return self.logits(x[:, 0, :]), tk_caches, tv_caches

@@ -365,6 +365,43 @@ def test_beam_guided(model_and_params):
                 assert tuple(t[b, h].tolist()) in guide_set
 
 
+@pytest.mark.parametrize("kw", [
+    dict(topk=4),
+    dict(topk=1),
+    dict(topk=3, length_alpha=0.7),
+    dict(topk=4, temperature=0.7),
+    dict(topk=3, guided=True),
+    dict(topk=4, guided=True, guide_renorm=True),
+    dict(topk=3, vocab=True, vocab_scaler=0.5),
+    dict(topk=3, vocab=True, vocab_scaler=0.5, vocab_per_token=True, guided=True),
+    dict(topk=4, temperature=0.7, length_alpha=0.3, guided=True),
+])
+def test_beam_lazy_cache_equivalence(model_and_params, kw):
+    """The slot-stationary (ancestry-bias) beam cache is result-identical to
+    the reorder cache: same chosen tokens/paddings, scores within fp tolerance.
+    The lazy path exists purely to remove the per-step cache permutation's
+    HBM traffic; softmax over -inf-masked slots == softmax over the gathered
+    path, so any divergence here is a bug."""
+    model, params = model_and_params
+    kw = dict(kw)
+    guides = np.zeros((5, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    guides[4, :3] = [3, 3, 0]
+    if kw.pop("guided", False):
+        kw["guide_targets"] = jnp.asarray(guides)
+    if kw.pop("vocab", False):
+        kw["vocab_targets"] = jnp.asarray(guides)
+    embed = unit_embeds(jax.random.PRNGKey(31), 4)
+    t1, p1, s1 = generate_beam(model, params, embed, cache_mode="reorder", **kw)
+    t2, p2, s2 = generate_beam(model, params, embed, cache_mode="lazy", **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
 def test_generate_all_matches_teacher_forcing(model_and_params):
     model, params = model_and_params
     guides = np.zeros((5, CMAX), dtype=np.int32)
