@@ -25,6 +25,12 @@ Modes (env vars):
   BENCH_WEIGHTS=<ckpt.npz>
       Load decoder params (+config) from a trained checkpoint instead of
       random init, so beam end/finish behavior is data-realistic.
+  BENCH_GUIDED=<W>
+      Decode with a W-entry guide trie (the product default gencfg is GUIDED
+      beam k=10 over the full model vocabulary — ref infer.py default). Uses
+      the trie-state guided path (models/guide_trie.py); the e2e number is
+      directly comparable to the unguided headline. W=42919 reproduces the
+      FT0 released-vocabulary scale.
 
 Benchmark hygiene for the remote-TPU (axon) environment: all tensors live on
 device (params initialized on device; synthetic uint8 camera frames generated
@@ -60,6 +66,7 @@ TOKLEN = int(os.environ.get("BENCH_TOKLEN", 0))
 WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
 # A/B the beam KV-cache strategy: "" (generate_beam's auto), "lazy", "reorder"
 BEAM_CACHE = os.environ.get("BENCH_BEAM_CACHE", "auto")
+GUIDED = int(os.environ.get("BENCH_GUIDED", 0))  # guide-set size (0 = unguided)
 
 # Per-backbone baselines: reference A6000 fp16-AMP image embed rates (B=256)
 # and text embed rates (B=512, "Text Speed" column; cache-creation workload)
@@ -301,30 +308,51 @@ def main():
         # Tiny checksum: fetching it forces completion of the whole batch
         return (target.sum() + padding.sum()).astype(jnp.float32)
 
-    def one_batch_beam(v_params, d_params, raw_images):
+    guide_extra = ()
+    if GUIDED:
+        from novic_tpu.models.guide_trie import build_guide_trie
+
+        # FT0-shaped random guide targets (random lengths 1..G-1 + end token);
+        # the trie rides as a jit ARGUMENT (a closure would inline the tables
+        # as HLO constants into the remote compile request)
+        grng = np.random.default_rng(0)
+        C = dcfg.token_length
+        glengths = grng.integers(1, C - 1, size=GUIDED)
+        gtoks = grng.integers(1, dcfg.vocab_size, size=(GUIDED, C), dtype=np.int32)
+        guide_np = np.where(np.arange(C)[None, :] < glengths[:, None], gtoks, 0).astype(np.int32)
+        guide_extra = (jax.device_put(guide_np),
+                       jax.device_put(build_guide_trie(guide_np, dcfg.vocab_size, C - 1)))
+
+    def one_batch_beam(v_params, d_params, raw_images, *extra):
         # The reference's product default is beam k=10 (ref infer.py:55);
         # its 143 img/s baseline is beam decode end-to-end (paper §4).
         embeds = embed_batch(v_params, raw_images)
-        out = generate_beam(decoder, d_params, embeds, topk=10, cache_mode=BEAM_CACHE)
+        if extra:
+            guide_ids, guide_trie = extra
+            out = generate_beam(decoder, d_params, embeds, topk=10, cache_mode=BEAM_CACHE,
+                                guide_targets=guide_ids, guide_renorm=True,
+                                guide_trie=guide_trie)
+        else:
+            out = generate_beam(decoder, d_params, embeds, topk=10, cache_mode=BEAM_CACHE)
         target, padding = out[0], out[1]
         return (target.sum() + padding.sum()).astype(jnp.float32)
 
     def make_pipeline(one_batch, inner):
         @jax.jit
-        def pipeline(v_params, d_params, raw_images):
+        def pipeline(v_params, d_params, raw_images, *extra):
             if inner <= 1:
-                return one_batch(v_params, d_params, raw_images)
+                return one_batch(v_params, d_params, raw_images, *extra)
 
             def body(i, acc):
                 # Vary the input per iteration so the loop body cannot be CSE'd
                 return acc + one_batch(v_params, d_params,
-                                       raw_images + i.astype(jnp.uint8))
+                                       raw_images + i.astype(jnp.uint8), *extra)
 
             return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
         return pipeline
 
-    def run(pipeline, raw, iters, inner, batch):
-        return timeit(pipeline, (v_params, d_params, raw), iters, inner, batch)
+    def run(pipeline, raw, iters, inner, batch, *extra):
+        return timeit(pipeline, (v_params, d_params, raw) + extra, iters, inner, batch)
 
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if profile_dir:
@@ -332,7 +360,8 @@ def main():
 
     # Headline: e2e BEAM k=10 at B=256 — like-for-like with the reference's
     # 143 img/s baseline (beam decode, paper §4). Greedy reported alongside.
-    beam_ips = run(make_pipeline(one_batch_beam, INNER), raw_dev, ITERS, INNER, BATCH)
+    beam_ips = run(make_pipeline(one_batch_beam, INNER), raw_dev, ITERS, INNER, BATCH,
+                   *guide_extra)
     greedy_ips = run(make_pipeline(one_batch_greedy, INNER), raw_dev, ITERS, INNER, BATCH)
 
     # Single-image latency: K sequential B=1 pipelines on device; per-image
@@ -342,7 +371,7 @@ def main():
     raw_one = raw_dev[:1]
     lat_inner = 20 if not SMALL else 4
     lat_ips = run(make_pipeline(one_batch_beam, lat_inner), raw_one,
-                  max(ITERS, 2), lat_inner, 1)
+                  max(ITERS, 2), lat_inner, 1, *guide_extra)
     p50_ms = 1000.0 / lat_ips
 
     if profile_dir:
@@ -353,6 +382,8 @@ def main():
         suffix += f"_G{dcfg.token_length}"
     if WEIGHTS:
         suffix += "_trained"
+    if GUIDED:
+        suffix += f"_guided{GUIDED}"
     result = {
         # b256 in the default name; a BENCH_BATCH override names its true batch
         "metric": f"end_to_end_images_per_sec_b{BATCH}_siglip_b16_beam_k10{suffix}",

@@ -32,9 +32,18 @@ from novic_tpu.models.generate import (
     generate_greedy,
     precompute_generate_all,
 )
+from novic_tpu.models.guide_trie import build_guide_trie
 from novic_tpu.text.target import TargetConfig, TargetTokenizer
 from novic_tpu.utils.logger import log
 from novic_tpu.utils.misc import format_semifix
+
+# Guide/vocab sets at or above this size decode through trie-node state
+# instead of the (B,K,W) alive mask: the mask formulation's per-step W-sized
+# scatter/where measured ~2.7 s/step at W=42,919 on chip, the trie is
+# W-independent (exp/guided_beam_bisect.py; models/guide_trie.py). Below the
+# threshold the mask path is cheap and skips the table build. Overridable for
+# ops tuning / testing via NOVIC_TRIE_MIN_TARGETS.
+TRIE_MIN_TARGETS = int(os.environ.get("NOVIC_TRIE_MIN_TARGETS", 512))
 
 # ---------------------------------------------------------------------------
 # GenerationConfig (ref infer.py:357-433)
@@ -174,6 +183,7 @@ class GenerationTask:
     topk: Optional[np.ndarray] = None
 
     _jit_cache: dict = dataclasses.field(default_factory=dict)
+    _trie_cache: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         self.topk_counts = np.zeros((self.gencfg.topk, 4), dtype=np.int64)
@@ -279,30 +289,39 @@ class GenerationTask:
         fn = self._jit_cache.get(key)
         guide = self.guide_targets if g.guided else None
         vocab = self.vocab_targets if g.vocab_prior else None
+        # Device-resident trie tables for large guide/vocab sets (greedy/beam
+        # only; 'all' teacher-forces each target directly). Passed as jit
+        # ARGUMENTS — as closure constants they would bloat the compile
+        # request (see models/guide_trie.py).
+        g_trie = v_trie = None
+        if g.method in ("greedy", "beam"):
+            g_trie = self._maybe_trie(guide, "guide")
+            if g.method == "beam":
+                v_trie = self._maybe_trie(vocab, "vocab")
         if fn is None:
             if g.method == "greedy":
-                def raw(params, e):
+                def raw(params, e, gt, vt):
                     t, p, _, _, _, s = generate_greedy(
                         dec.model, params, e, calc_loss=True, temperature=g.temperature,
                         length_alpha=g.length_alpha,
                         guide_targets=None if guide is None else np.asarray(guide),
-                        guide_renorm=g.guide_renorm)
+                        guide_renorm=g.guide_renorm, guide_trie=gt)
                     return t[:, None], p[:, None], s[:, None]
                 fn = jax.jit(raw)
             elif g.method == "beam":
-                def raw(params, e):
+                def raw(params, e, gt, vt):
                     return generate_beam(
                         dec.model, params, e, topk=g.topk, temperature=g.temperature,
                         length_alpha=g.length_alpha,
                         vocab_targets=None if vocab is None else np.asarray(vocab),
                         vocab_per_token=g.vocab_per_token, vocab_scaler=g.vocab_scaler,
                         guide_targets=None if guide is None else np.asarray(guide),
-                        guide_renorm=g.guide_renorm)
+                        guide_renorm=g.guide_renorm, guide_trie=gt, vocab_trie=vt)
                 fn = jax.jit(raw)
             elif g.method == "all":
                 pre = self.precompute
 
-                def fn(params, e):
+                def fn(params, e, gt, vt):
                     return generate_all(
                         dec.model, params, e, topk=g.topk, temperature=g.temperature,
                         length_alpha=g.length_alpha, vocab_targets=vocab,
@@ -315,8 +334,32 @@ class GenerationTask:
         params, e = ((dec.params, np.asarray(embeds, dtype=np.float32))
                      if self.mesh is None
                      else self._mesh_place(np.asarray(embeds, dtype=np.float32)))
-        t, p, s = fn(params, e)
+        t, p, s = fn(params, e, g_trie, v_trie)
         return np.asarray(t), np.asarray(p), np.asarray(s)
+
+    def _maybe_trie(self, targets: Optional[np.ndarray], which: str):
+        """Build (once) and device-place the trie tables for a target set, or
+        return None when the set is small enough for the mask path."""
+        if targets is None:
+            return None
+        targets = np.asarray(targets)
+        G = self.decoder.cfg.token_length - 1
+        if len(targets) < TRIE_MIN_TARGETS or targets.shape[1] < G:
+            return None
+        cached = self._trie_cache.get(which)
+        if cached is not None:
+            return cached
+        import jax
+
+        trie = build_guide_trie(targets, self.decoder.cfg.vocab_size, G)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            trie = jax.device_put(trie, NamedSharding(self.mesh, PartitionSpec()))
+        else:
+            trie = jax.device_put(trie)
+        self._trie_cache[which] = trie
+        return trie
 
     def process(self, embeds: np.ndarray, *, class_indices: Optional[Sequence[int]] = None,
                 precompute: bool = True, precompute_cache: Optional[dict] = None):
@@ -575,6 +618,7 @@ class NOVICModel:
             self.task.mesh = mesh
             self.task._replicated_params = None
             self.task._jit_cache.clear()
+            self.task._trie_cache.clear()  # re-place tables with the mesh sharding
 
     # -- lifecycle -------------------------------------------------------------
 

@@ -86,9 +86,15 @@ def generate_greedy(
     sample_weight: Optional[jnp.ndarray] = None,
     guide_targets: Optional[jnp.ndarray] = None,
     guide_renorm: bool = False,
+    guide_trie: Optional[dict] = None,
 ):
     """Greedy KV-cached decode. Returns
-    (target BxG, target_padding BxG, seq_logits BxGxV | None, loss_sum, loss_basis, target_score)."""
+    (target BxG, target_padding BxG, seq_logits BxGxV | None, loss_sum, loss_basis, target_score).
+
+    guide_trie: optional per-depth children tables (guide_trie.build_guide_trie)
+    replacing the O(B*W)-per-step alive-mask bookkeeping with a single trie-node
+    int per sample — required at large W (see generate_beam's cache_mode doc).
+    """
     cfg = model.cfg
     B = embed.shape[0]
     G = cfg.token_length - 1
@@ -99,42 +105,71 @@ def generate_greedy(
     logits1, k0, v0 = bound.prefill(embed, k0, v0)
 
     have_guide = guide_targets is not None
-    guide_dead0 = jnp.zeros((B, guide_targets.shape[0]), dtype=bool) if have_guide else None
+    use_trie = have_guide and guide_trie is not None
+    if use_trie:
+        # state: trie node per sample (all start at the root, node 1)
+        guide_state0 = jnp.ones((B,), dtype=jnp.int32)
+    else:
+        guide_state0 = jnp.zeros((B, guide_targets.shape[0]), dtype=bool) if have_guide else None
 
-    def pick_token(logits, sample_mask, guide_dead, step):
-        """Choose next token per reference rules; returns (token, guide_score, new_guide_dead)."""
-        if have_guide:
-            gcol = jax.lax.dynamic_index_in_dim(guide_targets, step - 1, axis=1, keepdims=False)  # (W,)
-            idx = jnp.where(guide_dead, V, jnp.broadcast_to(gcol[None, :], guide_dead.shape))
+    def pick_token(logits, guide_state, step):
+        """Choose next token per reference rules; returns (token, guide_score, new_guide_state)."""
+        if use_trie:
+            Cm = step - 1
+            if Cm == 0:
+                # Root special case: every sample is at the root at step 1,
+                # so the allowed mask is ONE (V,) vector and the children row
+                # is the single root row (see generate_beam).
+                gct = guide_trie["child_tok"][0][1]  # (M0,)
+                guide_score = jnp.broadcast_to(
+                    _scatter_allowed((1, V + 1), gct[None, :])[0, :V][None, :], (B, V))
+                token = jnp.argmax(guide_score + logits, axis=1).astype(jnp.int32)
+                eq = gct[None, :] == token[:, None]
+                new_state = jnp.where(eq.any(axis=1),
+                                      guide_trie["child_id"][0][1][jnp.argmax(eq, axis=1)], 0)
+            else:
+                gct = guide_trie["child_tok"][Cm][guide_state]  # (B, M)
+                guide_score = _scatter_allowed((B, V + 1), gct)[:, :V]
+                token = jnp.argmax(guide_score + logits, axis=1).astype(jnp.int32)
+                eq = gct == token[:, None]
+                cid = guide_trie["child_id"][Cm][guide_state]
+                new_state = jnp.where(eq.any(axis=1),
+                                      jnp.take_along_axis(cid, jnp.argmax(eq, axis=1)[:, None],
+                                                          axis=1)[:, 0], 0)
+        elif have_guide:
+            gcol = guide_targets[:, step - 1]  # (W,)
+            idx = jnp.where(guide_state, V, jnp.broadcast_to(gcol[None, :], guide_state.shape))
             guide_score = _scatter_allowed((B, V + 1), idx)[:, :V]
             scored = guide_score + logits
             token = jnp.argmax(scored, axis=1).astype(jnp.int32)
-            new_dead = guide_dead | jnp.not_equal(token[:, None], gcol[None, :])
+            new_state = guide_state | jnp.not_equal(token[:, None], gcol[None, :])
         else:
             guide_score = jnp.zeros((B, V), dtype=logits.dtype)
             # Disallow end token at the very first step (ref :804)
             masked = jnp.where((jnp.arange(V)[None, :] == 0) & (step == 1), NEG_INF, logits)
             token = jnp.argmax(masked, axis=1).astype(jnp.int32)
-            new_dead = None
-        return token, guide_score, new_dead
+            new_state = None
+        return token, guide_score, new_state
 
-    def body(carry, step):
-        logits, sample_mask, guide_dead, k, v = carry
-        token, guide_score, guide_dead = pick_token(logits, sample_mask, guide_dead, step)
-        padding_t = sample_mask  # padding at position step-1 = finished before this step
+    # Python loop = the round-2 scan(unroll=True) lowering (straight-line HLO,
+    # XLA aliases the cache carries), but steps are static so the per-depth
+    # trie tables (different shapes per depth) index naturally.
+    logits, sample_mask, guide_state, k, v = (
+        logits1, jnp.zeros((B,), dtype=bool), guide_state0, k0, v0)
+    seq_logits_l, tokens_l, paddings_l, guide_scores_l = [], [], [], []
+    for step in range(1, G + 1):
+        token, guide_score, guide_state = pick_token(logits, guide_state, step)
+        seq_logits_l.append(logits)
+        tokens_l.append(token)
+        paddings_l.append(sample_mask)  # padding at position step-1 = finished before this step
+        guide_scores_l.append(guide_score)
         sample_mask = sample_mask | (token == 0)
-        logits_next, k, v = bound.decode_step(token, step, k, v)
-        out = (logits, token, padding_t, guide_score)
-        return (logits_next, sample_mask, guide_dead, k, v), out
+        logits, k, v = bound.decode_step(token, step, k, v)
 
-    init = (logits1, jnp.zeros((B,), dtype=bool), guide_dead0, k0, v0)
-    # unroll: same carry-aliasing win as beam (see generate_beam)
-    _, (seq_logits, tokens, paddings, guide_scores) = jax.lax.scan(
-        body, init, jnp.arange(1, G + 1), unroll=True)
-
-    target = jnp.transpose(tokens)            # BxG
-    target_padding = jnp.transpose(paddings)  # BxG
-    seq_logits_b = jnp.transpose(seq_logits, (1, 0, 2))  # BxGxV
+    target = jnp.stack(tokens_l, axis=1)            # BxG
+    target_padding = jnp.stack(paddings_l, axis=1)  # BxG
+    seq_logits_b = jnp.stack(seq_logits_l, axis=1)  # BxGxV
+    guide_scores = jnp.stack(guide_scores_l, axis=0)  # GxBxV (as the scan emitted)
     target = jnp.where(target_padding, 0, target)
 
     loss_sum = loss_basis = target_score = None
@@ -183,6 +218,8 @@ def generate_beam(
     guide_targets: Optional[jnp.ndarray] = None,
     guide_renorm: bool = False,
     cache_mode: str = "auto",
+    guide_trie: Optional[dict] = None,
+    vocab_trie: Optional[dict] = None,
 ):
     """Batched KV-cached beam search. Returns (target BxHxG, padding BxHxG, scores BxH),
     descending score order per sample.
@@ -197,6 +234,16 @@ def generate_beam(
     * ``"reorder"`` — per-step one-hot-matmul permutation of the token caches
       (the round-2 design; kept for differential testing).
     * ``"auto"`` — the measured-fastest mode (lazy).
+
+    guide_trie / vocab_trie: optional per-depth children tables
+    (guide_trie.build_guide_trie over the same target rows). With a trie the
+    per-candidate alive-set state is ONE trie-node int instead of a (B,H,W)
+    mask, and the per-step allowed-token scatter runs over the node's M_d
+    children instead of all W rows — identical semantics (the alive set IS a
+    trie node), but W-independent per-step cost. At FT0 scale (W=42,919) the
+    mask formulation measured ~2.7 s/step on chip (exp/guided_beam_bisect.py);
+    the trie is the difference between guided beam being unusable and ~free.
+    Pass tries as jit ARGUMENTS (device arrays), not closures.
     """
     cfg = model.cfg
     B = embed.shape[0]
@@ -222,6 +269,12 @@ def generate_beam(
     W = guide_targets.shape[0] if have_guide else 0
     Z = vocab_targets.shape[0] if use_vocab else 0
     use_alpha = length_alpha != 0
+    g_trie = guide_trie if have_guide else None
+    v_trie = vocab_trie if (use_vocab and not vocab_is_guide) else None
+    if g_trie is not None and len(g_trie["child_tok"]) < G:
+        raise ValueError(f"guide_trie depth {len(g_trie['child_tok'])} < decode steps {G}")
+    if v_trie is not None and len(v_trie["child_tok"]) < G:
+        raise ValueError(f"vocab_trie depth {len(v_trie['child_tok'])} < decode steps {G}")
 
     # Split KV caches: the P prefix slots are identical across a sample's H
     # candidates, so they are prefilled once at B rows and shared (never
@@ -235,24 +288,63 @@ def generate_beam(
     # from step g+1 (-1 = not yet generated).
     anc0 = jnp.full((B, H, G), -1, dtype=jnp.int32) if lazy else None
 
-    target0 = jnp.zeros((B, H, G), dtype=jnp.int32)
-    padding0 = jnp.ones((B, H, G), dtype=bool).at[:, 0, 0].set(False)
-    score0 = jnp.full((B, H), NEG_INF).at[:, 0].set(0.0)
-    guide_mask0 = (jnp.ones((B, H, W), dtype=bool).at[:, 0, :].set(False)) if have_guide else None
-    vocab_mask0 = (jnp.ones((B, H, Z), dtype=bool).at[:, 0, :].set(False)) \
-        if (use_vocab and not vocab_is_guide) else None
-    seq_len0 = jnp.zeros((B, H)).at[:, 0].set(1.0) if use_alpha else None
+    target = jnp.zeros((B, H, G), dtype=jnp.int32)
+    padding = jnp.ones((B, H, G), dtype=bool).at[:, 0, 0].set(False)
+    score = jnp.full((B, H), NEG_INF).at[:, 0].set(0.0)
+    # Guide/vocab alive-set state: with a trie, one node int per candidate
+    # (root = node 1, slot 0 only — slots 1..H-1 start dead = node 0); the
+    # mask fallback carries the full (B,H,W) row mask.
+    if g_trie is not None:
+        guide_state = jnp.zeros((B, H), dtype=jnp.int32).at[:, 0].set(1)
+    else:
+        guide_state = (jnp.ones((B, H, W), dtype=bool).at[:, 0, :].set(False)) if have_guide else None
+    if use_vocab and not vocab_is_guide:
+        if v_trie is not None:
+            vocab_state = jnp.zeros((B, H), dtype=jnp.int32).at[:, 0].set(1)
+        else:
+            vocab_state = jnp.ones((B, H, Z), dtype=bool).at[:, 0, :].set(False)
+    else:
+        vocab_state = None
+    seq_len = jnp.zeros((B, H)).at[:, 0].set(1.0) if use_alpha else None
+    logits_raw = logits1
+    anc = anc0
+    k, v = tk0, tv0
 
     def gather_h(x, cand):
         """Gather along the candidate (H) axis: x (B,H,...) by cand (B,H)."""
         b = jnp.arange(B)[:, None]
         return x[b, cand]
 
-    def body(carry, step):
-        (logits_raw, target, padding, score, guide_mask, vocab_mask, seq_len, anc, k, v) = carry
+    def trie_rows(trie, state, Cm):
+        """Gather a node's children row: (tok, id, cnt, node_cnt), each (B,H,M)/(B,H)."""
+        return (trie["child_tok"][Cm][state], trie["child_id"][Cm][state],
+                trie["child_cnt"][Cm][state], trie["node_cnt"][Cm][state])
+
+    def trie_advance(ct, cid, cand, tok):
+        """New node after candidate reorder + emitting tok (dead node 0 if no child)."""
+        ct_g = gather_h(ct, cand)
+        cid_g = gather_h(cid, cand)
+        eq = ct_g == tok[:, :, None]
+        child = jnp.take_along_axis(cid_g, jnp.argmax(eq, axis=2)[:, :, None], axis=2)[:, :, 0]
+        return jnp.where(eq.any(axis=2), child, 0)
+
+    def trie_advance_root(trie, state, cand, tok):
+        """Step-1 advance: parents are root (node 1) or dead, so the children
+        row is the single root row — no per-candidate table gather."""
+        r_ct = trie["child_tok"][0][1]
+        r_cid = trie["child_id"][0][1]
+        eq = r_ct[None, None, :] == tok[:, :, None]
+        child = r_cid[jnp.argmax(eq, axis=2)]
+        parent_root = gather_h(state, cand) == 1
+        return jnp.where(parent_root & eq.any(axis=2), child, 0)
+
+    # Python loop = scan(unroll=True) lowering (straight-line HLO; XLA aliases
+    # the cache carries) with static steps so the per-depth trie tables
+    # (different shapes per depth) index naturally.
+    for step in range(1, G + 1):
         Cm = step - 1
 
-        finished = jax.lax.dynamic_index_in_dim(padding, Cm, axis=2, keepdims=False)  # (B,H): padding at pos C-1
+        finished = padding[:, :, Cm]  # (B,H): padding at pos C-1
         logits = logits_raw / temperature
         # Force finished candidates to predict end with score 0 (ref :913)
         col_is_end = (jnp.arange(V)[None, None, :] == 0)
@@ -260,9 +352,26 @@ def generate_beam(
 
         guide_score = None
         guide_idx = None
-        if have_guide:
-            gcol = jax.lax.dynamic_index_in_dim(guide_targets, Cm, axis=1, keepdims=False)  # (W,)
-            guide_idx = jnp.where(guide_mask, V, jnp.broadcast_to(gcol[None, None, :], (B, H, W)))
+        g_ct = g_cid = g_cnt = g_ncnt = None
+        if g_trie is not None:
+            if Cm == 0:
+                # Root special case: at step 1 every candidate is at the root
+                # (slot 0) or dead, so the allowed mask is ONE (V,) vector —
+                # skipping the (B,H,M0)-wide gather+scatter (M0 = root children
+                # can approach V; this step dominated the trie path's cost).
+                root_ct = g_trie["child_tok"][0][1]
+                root_allowed = _scatter_allowed((1, V + 1), root_ct[None, :])[0, :V]
+                slot0 = (jnp.arange(H) == 0)[None, :, None]
+                guide_score = jnp.where(slot0, root_allowed[None, None, :], NEG_INF)
+            else:
+                g_ct, g_cid, g_cnt, g_ncnt = trie_rows(g_trie, guide_state, Cm)
+                guide_score = _scatter_allowed((B, H, V + 1), g_ct)[:, :, :V]
+            guide_score = jnp.where(col_is_end & finished[:, :, None], 0.0, guide_score)  # ref :918
+            if guide_renorm:
+                logits = logits + guide_score
+        elif have_guide:
+            gcol = guide_targets[:, Cm]  # (W,)
+            guide_idx = jnp.where(guide_state, V, jnp.broadcast_to(gcol[None, None, :], (B, H, W)))
             guide_score = _scatter_allowed((B, H, V + 1), guide_idx)[:, :, :V]
             guide_score = jnp.where(col_is_end & finished[:, :, None], 0.0, guide_score)  # ref :918
             if guide_renorm:
@@ -270,28 +379,63 @@ def generate_beam(
 
         scores = jax.nn.log_softmax(logits, axis=2)
 
+        v_ct = v_cid = None
         if use_vocab:
-            if vocab_is_guide:
-                vocab_idx = guide_idx
+            # Counts of alive vocab rows per token / total alive rows. Trie:
+            # children carry exact row counts (duplicates included), so the
+            # scatter runs over M_d children instead of Z rows; the root step
+            # computes one (V,) vector (all candidates at root or dead).
+            t_trie = g_trie if (vocab_is_guide and g_trie is not None) else v_trie
+            if t_trie is not None and Cm == 0:
+                r_ct = t_trie["child_tok"][0][1]
+                r_cnt = t_trie["child_cnt"][0][1]
+                r_n = t_trie["node_cnt"][0][1]
+                if vocab_per_token:
+                    present = jnp.minimum(
+                        _scatter_count((1, V + 1), r_ct[None, :]), 1.0)[0, :V]
+                    root_vp = present / jnp.maximum(present.sum(), 1e-30)
+                else:
+                    counts = _scatter_count((1, V + 1), r_ct[None, :],
+                                            weights=r_cnt[None, :].astype(jnp.float32))[0, :V]
+                    root_vp = counts / jnp.maximum(r_n.astype(jnp.float32), 1e-30)
+                slot0 = (jnp.arange(H) == 0)[None, :, None]
+                # Dead slots: 0 probability, matching the mask path's all-dead rows
+                vocab_probs = jnp.where(slot0, root_vp[None, None, :], 0.0)
             else:
-                zcol = jax.lax.dynamic_index_in_dim(vocab_targets, Cm, axis=1, keepdims=False)
-                vocab_idx = jnp.where(vocab_mask, V, jnp.broadcast_to(zcol[None, None, :], (B, H, Z)))
-            if vocab_per_token:
-                present = jnp.minimum(_scatter_count((B, H, V + 1), vocab_idx), 1.0)[:, :, :V]
-                vocab_probs = present / jnp.maximum(present.sum(axis=2, keepdims=True), 1e-30)
-            else:
-                counts = _scatter_count((B, H, V + 1), vocab_idx)
-                invalid = counts[:, :, V:]
-                nz = vocab_idx.shape[2] - invalid
-                vocab_probs = counts[:, :, :V] / jnp.maximum(nz, 1e-30)
+                if vocab_is_guide and g_trie is not None:
+                    cnt_idx, cnt_w, nz_cnt = g_ct, g_cnt, g_ncnt
+                elif v_trie is not None:
+                    v_ct, v_cid, v_cnt, v_ncnt = trie_rows(v_trie, vocab_state, Cm)
+                    cnt_idx, cnt_w, nz_cnt = v_ct, v_cnt, v_ncnt
+                else:
+                    if vocab_is_guide:
+                        vocab_idx = guide_idx
+                    else:
+                        zcol = vocab_targets[:, Cm]
+                        vocab_idx = jnp.where(vocab_state, V,
+                                              jnp.broadcast_to(zcol[None, None, :], (B, H, Z)))
+                    cnt_idx, cnt_w, nz_cnt = vocab_idx, None, None
+                if vocab_per_token:
+                    present = jnp.minimum(_scatter_count((B, H, V + 1), cnt_idx), 1.0)[:, :, :V]
+                    vocab_probs = present / jnp.maximum(present.sum(axis=2, keepdims=True), 1e-30)
+                else:
+                    if cnt_w is not None:  # trie path: weighted by child row counts
+                        counts = _scatter_count((B, H, V + 1), cnt_idx,
+                                                weights=cnt_w.astype(jnp.float32))
+                        nz = nz_cnt[:, :, None].astype(jnp.float32)
+                    else:
+                        counts = _scatter_count((B, H, V + 1), cnt_idx)
+                        invalid = counts[:, :, V:]
+                        nz = cnt_idx.shape[2] - invalid
+                    vocab_probs = counts[:, :, :V] / jnp.maximum(nz, 1e-30)
             vocab_probs = jnp.log(vocab_probs)
             vocab_probs = jnp.where(jnp.isfinite(vocab_probs), vocab_probs, INF)  # ref :934
             vocab_probs = jnp.where(col_is_end & finished[:, :, None], 0.0, vocab_probs)
             scores = scores - vocab_scaler * vocab_probs
 
         scores = scores + score[:, :, None]
-        if True:  # disallow end as first generated token (ref :939-940)
-            first_mask = (step == 1) & col_is_end[:, :, :] & (jnp.arange(H)[None, :, None] == 0)
+        if step == 1:  # disallow end as first generated token (ref :939-940)
+            first_mask = col_is_end & (jnp.arange(H)[None, :, None] == 0)
             scores = jnp.where(first_mask, NEG_INF, scores)
 
         if have_guide and not guide_renorm:
@@ -301,9 +445,8 @@ def generate_beam(
         if use_alpha:
             scale = jnp.power(jnp.maximum(seq_len, 1.0), -length_alpha)  # (B,H)
             flat_normed = (scores * scale[:, :, None]).reshape(B, H * V)
-            top_normed, top_idx = jax.lax.top_k(flat_normed, H)
+            new_score_normed, top_idx = jax.lax.top_k(flat_normed, H)
             new_score = jnp.take_along_axis(flat, top_idx, axis=1)
-            new_score_normed = top_normed
         else:
             new_score, top_idx = jax.lax.top_k(flat, H)
             new_score_normed = None
@@ -311,26 +454,27 @@ def generate_beam(
         cand = (top_idx // V).astype(jnp.int32)  # (B,H)
         tok = (top_idx % V).astype(jnp.int32)    # (B,H)
 
-        target = gather_h(target, cand)
+        target = gather_h(target, cand).at[:, :, Cm].set(tok)
         padding = gather_h(padding, cand)
-        target = jax.lax.dynamic_update_index_in_dim(target, tok, Cm, axis=2)
 
-        was_finished = jax.lax.dynamic_index_in_dim(padding, Cm, axis=2, keepdims=False)
-        new_finished = (tok == 0) | was_finished
+        new_finished = (tok == 0) | padding[:, :, Cm]
         # Write finished flag at position C (next step's padding), if within range
-        padding = jax.lax.cond(
-            step < G,
-            lambda p: jax.lax.dynamic_update_index_in_dim(p, new_finished, jnp.minimum(step, G - 1), axis=2),
-            lambda p: p,
-            padding,
-        )
+        if step < G:
+            padding = padding.at[:, :, step].set(new_finished)
 
-        if have_guide:
-            gcol = jax.lax.dynamic_index_in_dim(guide_targets, Cm, axis=1, keepdims=False)
-            guide_mask = gather_h(guide_mask, cand) | jnp.not_equal(tok[:, :, None], gcol[None, None, :])
-        if vocab_mask is not None:
-            zcol = jax.lax.dynamic_index_in_dim(vocab_targets, Cm, axis=1, keepdims=False)
-            vocab_mask = gather_h(vocab_mask, cand) | jnp.not_equal(tok[:, :, None], zcol[None, None, :])
+        if g_trie is not None:
+            guide_state = (trie_advance_root(g_trie, guide_state, cand, tok) if Cm == 0
+                           else trie_advance(g_ct, g_cid, cand, tok))
+        elif have_guide:
+            gcol = guide_targets[:, Cm]
+            guide_state = gather_h(guide_state, cand) | jnp.not_equal(tok[:, :, None], gcol[None, None, :])
+        if vocab_state is not None:
+            if v_trie is not None:
+                vocab_state = (trie_advance_root(v_trie, vocab_state, cand, tok) if Cm == 0
+                               else trie_advance(v_ct, v_cid, cand, tok))
+            else:
+                zcol = vocab_targets[:, Cm]
+                vocab_state = gather_h(vocab_state, cand) | jnp.not_equal(tok[:, :, None], zcol[None, None, :])
         if use_alpha:
             seq_len = gather_h(seq_len, cand) + (~new_finished).astype(seq_len.dtype)
 
@@ -340,9 +484,8 @@ def generate_beam(
             # attention select each candidate's history with an additive bias
             # (see TransformerLayer.step_lazy). anc is (B,H,G) int32 vs the
             # caches' 2L*(B*H,G,heads,hd) — ~4000x less reorder traffic.
-            anc = gather_h(anc, cand)
-            anc = jax.lax.dynamic_update_index_in_dim(
-                anc, jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (B, H)), Cm, axis=2)
+            anc = gather_h(anc, cand).at[:, :, Cm].set(
+                jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (B, H)))
             allowed = anc[:, :, None, :] == jnp.arange(H, dtype=jnp.int32)[None, None, :, None]
             anc_bias = jnp.where(allowed.reshape(B, H, 1, H * G), 0.0, NEG_INF)  # (B,c,1,r*G+g)
             logits_next, k, v = bound.decode_step_lazy(tok.reshape(-1), step, pk, pv, k, v, anc_bias)
@@ -363,22 +506,13 @@ def generate_beam(
             k = [reorder(kc) for kc in k]
             v = [reorder(vc) for vc in v]
             logits_next, k, v = bound.decode_step_split(tok.reshape(-1), step, pk, pv, k, v)
-        logits_next = logits_next.reshape(B, H, V)
-
-        score_out = new_score_normed if use_alpha else new_score
-        return (logits_next, target, padding, new_score if not use_alpha else new_score,
-                guide_mask, vocab_mask, seq_len, anc, k, v), score_out
-
-    carry = (logits1, target0, padding0, score0, guide_mask0, vocab_mask0, seq_len0, anc0, tk0, tv0)
-    # NB: raw (unnormalized) cumulative score threads the carry; normalized score is emitted.
-    # unroll: straight-line steps let XLA alias the KV-cache carries through
-    # the per-step candidate reorder (scan carries otherwise add a copy per
-    # step; measured on-chip)
-    (logits_f, target, padding, score_raw, _, _, _, _, _, _), score_seq = jax.lax.scan(
-        body, carry, jnp.arange(1, G + 1), unroll=True)
+        logits_raw = logits_next.reshape(B, H, V)
+        # NB: raw (unnormalized) cumulative score carries forward; the
+        # alpha-normalized score is what the final step reports.
+        score = new_score
 
     target = jnp.where(padding, 0, target)
-    final_score = score_seq[-1] if use_alpha else score_raw
+    final_score = new_score_normed if use_alpha else score
     return target, padding, final_score
 
 

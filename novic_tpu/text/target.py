@@ -293,6 +293,14 @@ class TargetTokenizer:
         for i in range(0, len(texts), batch_size):
             chunk = list(texts[i:i + batch_size])
             ids, mask = self.tokenize_target(chunk)
+            if ids.shape[1] > tc.token_length:
+                # Loud error like the reference (ref infer.py:698-699), not a
+                # broadcast crash: the model cannot decode targets longer than
+                # its configured token length.
+                raise ValueError(
+                    "Some guide target noun(s) have tokenizations that are longer "
+                    f"than supported by the model target configuration "
+                    f"({ids.shape[1]} > {tc.token_length})")
             all_ids[i:i + len(chunk), :ids.shape[1]] = ids
             if ids.shape[1] < tc.token_length:
                 all_ids[i:i + len(chunk), ids.shape[1]:] = tc.pad_token_id

@@ -402,6 +402,116 @@ def test_beam_lazy_cache_equivalence(model_and_params, kw):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def _trie_fixture_targets():
+    rng = np.random.default_rng(3)
+    W = 17
+    lengths = rng.integers(1, CMAX - 1, size=W)
+    toks = rng.integers(1, V, size=(W, CMAX)).astype(np.int32)
+    pos = np.arange(CMAX)[None, :]
+    guide = np.where(pos < lengths[:, None], toks, 0).astype(np.int32)
+    guide[5] = guide[2]  # duplicate row: counts must include it
+    lengths2 = rng.integers(1, CMAX - 1, size=11)
+    toks2 = rng.integers(1, V, size=(11, CMAX)).astype(np.int32)
+    vocab = np.where(pos < lengths2[:, None], toks2, 0).astype(np.int32)
+    return guide, vocab
+
+
+def test_guide_trie_builder_matches_brute_force():
+    """Trie children/counts equal brute-force prefix matching on every
+    reachable prefix (incl. duplicates and dead prefixes)."""
+    from novic_tpu.models.guide_trie import build_guide_trie
+
+    guide, _ = _trie_fixture_targets()
+    depth = CMAX - 1
+    trie = build_guide_trie(guide, V, depth)
+
+    def walk(prefix):
+        node = 1
+        for d, p in enumerate(prefix):
+            ct, cid = trie["child_tok"][d][node], trie["child_id"][d][node]
+            m = np.flatnonzero(ct == p)
+            node = int(cid[m[0]]) if len(m) else 0
+        return node
+
+    rng = np.random.default_rng(0)
+    prefixes = [[]] + [list(guide[w, :n]) for w in range(len(guide)) for n in range(1, depth)]
+    prefixes += [list(rng.integers(0, V, size=n)) for n in range(1, depth) for _ in range(5)]
+    for prefix in prefixes:
+        d = len(prefix)
+        alive = [w for w in range(len(guide))
+                 if all(guide[w, i] == p for i, p in enumerate(prefix))]
+        node = walk(prefix)
+        if node == 0:
+            assert not alive, prefix
+            continue
+        ct = trie["child_tok"][d][node]
+        cc = trie["child_cnt"][d][node]
+        got = {int(t): int(c) for t, c in zip(ct, cc) if t < V}
+        want = {}
+        for w in alive:
+            want[int(guide[w, d])] = want.get(int(guide[w, d]), 0) + 1
+        assert got == want, (prefix, got, want)
+        assert int(trie["node_cnt"][d][node]) == len(alive), prefix
+
+
+@pytest.mark.parametrize("kw", [
+    dict(topk=4, guided=True),
+    dict(topk=3, guided=True, guide_renorm=True),
+    dict(topk=4, guided=True, length_alpha=0.5, temperature=0.8),
+    dict(topk=3, guided=True, vocab="guide", vocab_scaler=0.4),
+    dict(topk=3, guided=True, vocab="guide", vocab_scaler=0.4, vocab_per_token=True),
+    dict(topk=4, guided=True, vocab="own", vocab_scaler=0.6),
+    dict(topk=4, guided=True, vocab="own", vocab_scaler=0.6, vocab_per_token=True),
+])
+def test_beam_trie_equals_mask(model_and_params, kw):
+    """Trie-node guided decoding is result-identical to the (B,H,W) alive-mask
+    formulation — the alive set of a candidate IS a trie node. The trie path
+    exists because the mask path's per-step W-sized scatter measured ~2.7 s/step
+    at FT0 scale on chip (exp/guided_beam_bisect.py)."""
+    from novic_tpu.models.guide_trie import build_guide_trie
+
+    model, params = model_and_params
+    kw = dict(kw)
+    guide, vocab = _trie_fixture_targets()
+    kw.pop("guided")
+    kw["guide_targets"] = guide
+    vmode = kw.pop("vocab", None)
+    gtrie = build_guide_trie(guide, V, CMAX - 1)
+    vtrie = None
+    if vmode == "guide":
+        kw["vocab_targets"] = guide
+    elif vmode == "own":
+        kw["vocab_targets"] = vocab
+        vtrie = build_guide_trie(vocab, V, CMAX - 1)
+    embed = unit_embeds(jax.random.PRNGKey(33), 4)
+    t1, p1, s1 = generate_beam(model, params, embed, **kw)
+    fn = jax.jit(lambda p, e, gt, vt: gen_mod.generate_beam(
+        model, p, e, guide_trie=gt, vocab_trie=vt, **kw))
+    t2, p2, s2 = fn(params, embed, gtrie, vtrie)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("renorm", [False, True])
+def test_greedy_trie_equals_mask(model_and_params, renorm):
+    from novic_tpu.models.guide_trie import build_guide_trie
+
+    model, params = model_and_params
+    guide, _ = _trie_fixture_targets()
+    gtrie = build_guide_trie(guide, V, CMAX - 1)
+    embed = unit_embeds(jax.random.PRNGKey(34), 5)
+    r1 = generate_greedy(model, params, embed, calc_loss=True,
+                         guide_targets=guide, guide_renorm=renorm)
+    fn = jax.jit(lambda p, e, t: gen_mod.generate_greedy(
+        model, p, e, calc_loss=True, guide_targets=guide, guide_renorm=renorm,
+        guide_trie=t))
+    r2 = fn(params, embed, gtrie)
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r2[0]))
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+    np.testing.assert_allclose(np.asarray(r1[5]), np.asarray(r2[5]), rtol=1e-5, atol=1e-5)
+
+
 def test_generate_all_matches_teacher_forcing(model_and_params):
     model, params = model_and_params
     guides = np.zeros((5, CMAX), dtype=np.int32)

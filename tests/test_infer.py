@@ -143,6 +143,38 @@ def test_generation_task_stats(trained_checkpoint):
         assert task.topk_valid[0] >= task.topk[0]
 
 
+def test_generation_task_trie_path_matches_mask(trained_checkpoint, monkeypatch):
+    """Lowering TRIE_MIN_TARGETS engages the trie-state guided decode in the
+    serving path; results must match the mask path (the default here, since the
+    tiny guide set sits below the real threshold)."""
+    import novic_tpu.infer as infer_mod
+
+    ckpt_path, _, base = trained_checkpoint
+    model = NOVICModel(ckpt_path, gencfg="beam_k3_vnone_gr_t1_a0", batch_size=8)
+    with model:
+        out_mask = model.classify_embeds(base)
+        assert not model.task._trie_cache  # below threshold: mask path
+    monkeypatch.setattr(infer_mod, "TRIE_MIN_TARGETS", 1)
+    model2 = NOVICModel(ckpt_path, gencfg="beam_k3_vnone_gr_t1_a0", batch_size=8)
+    with model2:
+        out_trie = model2.classify_embeds(base)
+        assert "guide" in model2.task._trie_cache  # trie engaged
+    assert out_mask.preds == out_trie.preds
+    np.testing.assert_allclose(np.asarray(out_mask.logprobs), np.asarray(out_trie.logprobs),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_guide_targets_longer_than_token_length_raise(trained_checkpoint):
+    """Guides that tokenize longer than the model's token length raise the
+    reference's loud ValueError (ref infer.py:698-699), not a broadcast crash."""
+    ckpt_path, _, _ = trained_checkpoint
+    model = NOVICModel(ckpt_path, gencfg="beam_k2_vnone_gr_t1_a0", batch_size=8)
+    model.set_guide_targets(["dog cat apple dog cat apple dog cat apple"])
+    with pytest.raises(ValueError, match="longer than supported"):
+        with model:
+            pass
+
+
 def test_novic_model_mesh_serving(trained_checkpoint):
     """classify_embeds over an 8-device DP mesh matches single-device output
     (batches shard over mesh('data'), decoder params replicate)."""
