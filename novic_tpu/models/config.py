@@ -68,6 +68,13 @@ class DecoderModelConfig:
     # "default" = single bf16 pass (fast, ~0.4% relative error — analogous to the
     # reference's TF32-enabled CUDA matmuls, utils.py:119-123); "highest" = exact f32,
     # used by tests to assert KV-cached == full-forward equivalence.
+    attn_impl: str = "auto"             # auto|einsum|vpu: full-sequence attention formulation.
+    # "einsum" = batched (B,H,Sq,Sk) MXU matmuls (XLA's natural lowering); "vpu" =
+    # broadcast-multiply-reduce with scores laid out (B,Sq,Sk,H) — no head-major
+    # transposes and no tiny batched matmuls, which at this model's seq lengths
+    # (S <= 13) measured 45->29 ms per 61k-token forward on v5e (exp/all_bisect4.py).
+    # "auto" = einsum for the train/decode paths (attention is a minor cost there);
+    # the exhaustive-scoring path (generate_all) opts into vpu explicitly.
 
     # ---------------------------------------------------------------- derived
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from novic_tpu.models.layers import NEG_INF
+from novic_tpu.models.layers import NEG_INF, dense, resolve_precision
 
 INF = -NEG_INF
 
@@ -624,7 +624,34 @@ def generate_all(
     max_scan_chunks: int = 256,
 ):
     """Teacher-force every guide target and return the per-sample top-k
-    (ref embedding_decoder.py:1043-1079). Returns (targets BxKxC, paddings BxKxC, scores BxK)."""
+    (ref embedding_decoder.py:1043-1079). Returns (targets BxKxC, paddings BxKxC, scores BxK).
+
+    TPU-first structure (the reference — and this repo through round 3 —
+    re-forwards the full sequence per scored chunk; the round-3 bisection
+    exp/all_bisect*.py showed that costs 50.5 ms per 10-target chunk at FT0
+    scale, 45.6 ms of it the transformer):
+
+    * The P prefix positions are identical for every scored target of an
+      image, so they are prefilled ONCE per call (prefill_split) and the
+      per-chunk forward is a prefix-cached ``score_hidden`` over only the
+      target's content tokens (broadcast-reduce attention — see
+      TransformerLayer.extend).
+    * Position-0 scores come straight from the prefill logits: ONE
+      (B,V) log-softmax serves all W targets via a gather.
+    * Targets are processed in per-length buckets (descending), so a
+      length-n target pays for n positions, not Cmax (~25-30% of all
+      positions at FT0 are padding).
+    * Per-position streamed scoring (logit-at-token minus logsumexp, one
+      position at a time) keeps the peak extra at (chunk*B, V) instead of
+      the (chunk*B, C, V) materialized-logits tensor, letting the chunk be
+      ~8x larger (fewer, better-amortized scan steps).
+
+    Scores are bit-identical math to the reference semantics; only fp
+    summation order differs. Ties between exactly-duplicated guide targets
+    may resolve to a different (equal-scoring, equal-string) row than the
+    reference's lowest-index rule because rows are scored in length-sorted
+    order.
+    """
     cfg = model.cfg
     if precompute is None:
         precompute = precompute_generate_all(
@@ -637,101 +664,153 @@ def generate_all(
     W, C = gt.shape
     B = embed.shape[0]
     K = topk
+    V = cfg.vocab_size
+
+    # Prefill the shared prefix once per call. params/embed are jit
+    # ARGUMENTS, not closures: a closure would inline the 51 MB decoder as
+    # HLO constants into the remote (axon) compile request.
+    prefill_fn = jax.jit(lambda p, e: model.apply({"params": p}, e, method="prefill_split"))
+    logits1, pk, pv = prefill_fn(params, embed)  # (B,V), [(B,P,H,hd)]*L
 
     if chunk is None:
-        # Each scan step materializes the step's full-vocab logits
-        # (B, chunk, C, V) f32 — at FT0 scale (W≈96.5k targets, V≈8k) a fixed
-        # chunk=128 with B=512 is a 23 GB tensor, far past one chip's HBM
-        # (measured OOM, exp/soak_r03.py round 3). Budget ~1.5 GB of logits
-        # (×2-3 with softmax intermediates still leaves headroom) and derive
-        # the chunk; total FLOPs are chunk-invariant, so smaller chunks only
-        # add scan-step overhead.
-        budget_elems = 384_000_000  # 1.5 GB f32
-        chunk = max(min(budget_elems // max(B * C * cfg.vocab_size, 1), 128), 8)
+        # The scoring core streams logits one position at a time, so the
+        # peak extra is one (chunk*B, V) f32 logits slab plus the
+        # (chunk*B, T, E) hidden/qkv tensors. Budget ~1 GB of logits and cap
+        # at 64 (the earlier materialized-logits design OOM'd at FT0 scale
+        # with anything past chunk~11; exp/soak_r03.py round 3).
+        budget_elems = 256_000_000
+        chunk = max(min(budget_elems // max(B * V, 1), 64), 8)
 
-    # Pad W up to a whole number of scan slices: a SINGLE scan over all
-    # chunks is one XLA program whose run time grows linearly in W — at FT0
-    # scale (42,919 targets = 3,902 chunk steps in one program) it reliably
-    # kills the remote (axon) TPU worker, while <=256-step slices run clean
-    # (exp/soak_r03.py round 3). Each slice is one jitted call (compiled
-    # once; ~32 ms dispatch each); padded rows are masked to -inf.
-    n_chunks = -(-W // chunk)
-    scan_len = max(1, min(n_chunks, max_scan_chunks))
-    n_super = -(-n_chunks // scan_len)
-    n_chunks = n_super * scan_len
-    Wp = n_chunks * chunk
-    gt_p = np.zeros((Wp, C), dtype=np.int32)
-    gt_p[:W] = gt
-    gp_p = np.ones((Wp, C), dtype=bool)
-    gp_p[:W] = gp
-    valid = np.zeros((Wp,), dtype=bool)
-    valid[:W] = True
-    gs_p = None
-    if precompute.guide_scores is not None:
-        gs_p = np.zeros((Wp, C, cfg.vocab_size), dtype=np.float32)
-        gs_p[:W] = precompute.guide_scores
+    # Length-bucketed processing over length-sorted rows (stable sort keeps
+    # the reference's lowest-index tie-break within a bucket).
+    n_pos = (C - gp.sum(axis=1)).astype(np.int64)  # scored positions per target, >= 1
+    order = np.argsort(-n_pos, kind="stable")
+    gt_s = gt[order]
+    gp_s = gp[order]
+    n_s = n_pos[order]
+    gs_s = precompute.guide_scores[order] if precompute.guide_scores is not None else None
+    vs_s = precompute.vocab_scores[order] if precompute.vocab_scores is not None else None
+    as_s = precompute.alpha_scale[order] if precompute.alpha_scale is not None else None
 
-    gt_d = jnp.asarray(gt_p).reshape(n_chunks, chunk, C)
-    gp_d = jnp.asarray(gp_p).reshape(n_chunks, chunk, C)
-    gs_d = jnp.asarray(gs_p).reshape(n_chunks, chunk, C, cfg.vocab_size) if gs_p is not None else None
+    # Bucket boundaries over the descending-sorted lengths
+    bounds = list(np.flatnonzero(np.diff(n_s)) + 1) if W > 1 else []
+    starts = [0] + bounds
+    ends = bounds + [W]
 
-    def scan_slice(p, emb_b, *xs):
-        # params/embed are jit ARGUMENTS, not closures: a closure would
-        # inline the 51 MB decoder as HLO constants into the remote (axon)
-        # compile request.
+    renorm = gs_s is not None
+
+    def scan_slice(p, pk, pv, *xs):
+        T = xs[0].shape[2] - 1  # tokens fed per target (length - 1)
+
         def score_chunk(carry, inputs):
-            if len(xs) == 3:
-                g_tok, g_pad, g_scores = inputs
+            if renorm:
+                g_tok, g_scores = inputs
             else:
-                (g_tok, g_pad), g_scores = inputs, None
-            # Flatten to 2D targets (chunk*B, C) instead of the model's 3D
-            # multi-target path: the latter reshapes logits to
-            # (B, chunk, C, V), and XLA's chosen layout tiles the
-            # size-`chunk` dim up to the 128-lane width — measured 11.6x
-            # padding expansion (15.6 GB for a 1.34 GB tensor, OOM at FT0
-            # scale; exp/soak_r03.py round 3). The flat (chunk*B, C, V)
-            # logits lay out at 1.0x. Rows are guide-major (row = g*B + b)
-            # so the renorm mask repeats contiguously.
-            tgt = jnp.repeat(g_tok, B, axis=0)              # (chunk*B, C)
-            emb = jnp.tile(emb_b, (chunk, 1))               # (chunk*B, F)
-            logits, _, _, _, _ = model.apply(
-                {"params": p}, emb, tgt, None, None,
-                calc_loss=False, calc_correct=False, only_pred=False,
-                guide_targets=None, multi_first=False, deterministic=True)
-            logits = logits / temperature  # (chunk*B, C, V)
-            if g_scores is not None:
-                logits = logits + jnp.repeat(g_scores, B, axis=0)
-            # log_softmax-at-target via gather - logsumexp: avoids
-            # materializing a second (chunk*B, C, V) tensor (same trick as
-            # the train-step CE)
-            at = jnp.take_along_axis(logits, tgt[:, :, None], axis=2)[:, :, 0]
-            sc = at - jax.scipy.special.logsumexp(logits, axis=2)
-            sc = sc.reshape(chunk, B, C)
-            sc = jnp.where(g_pad[:, None, :], 0.0, sc)
-            return carry, sc.sum(axis=2).T  # BxH
+                (g_tok,) = inputs
+            ch = g_tok.shape[0]
+            # Rows are base-sample-major (row = b*ch + g), matching
+            # score_hidden/extend's (Bb, R) layout — under a data mesh the
+            # sharded batch axis stays the major dim.
+            tok_in = jnp.tile(g_tok[:, :T], (B, 1))  # (B*ch, T)
+            h = model.apply({"params": p}, tok_in, pk, pv, method="score_hidden")
+            w = p["logits_weight"]
+            b_ = p.get("logits_bias")
+            prec = resolve_precision(cfg.matmul_precision)
+            acc = jnp.zeros((B * ch,), jnp.float32)
+            for c in range(T):  # scored positions 1..T; position 0 is shared
+                lg = dense(h[:, c, :], w, b_, precision=prec)[:, :V] / temperature
+                if renorm:
+                    lg = lg + jnp.tile(g_scores[:, c, :], (B, 1))
+                tok_c = jnp.tile(g_tok[:, c + 1], (B,))
+                at = jnp.take_along_axis(lg, tok_c[:, None], axis=1)[:, 0]
+                acc = acc + at - jax.scipy.special.logsumexp(lg, axis=1)
+            return carry, acc.reshape(B, ch)
 
         return jax.lax.scan(score_chunk, None, xs)[1]  # (scan_len, B, chunk)
 
+    # Per-bucket scans; each bucket padded to a whole number of chunks and
+    # sliced into <=max_scan_chunks-step programs (one unbounded scan at FT0
+    # scale reliably killed the remote TPU worker; exp/soak_r03.py round 3).
+    gt_parts, gp_parts, valid_parts, score_parts = [], [], [], []
+    vs_parts = [] if vs_s is not None else None
+    as_parts = [] if as_s is not None else None
     scan_jit = jax.jit(scan_slice)
-    parts = []
-    for s in range(n_super):
-        sl = slice(s * scan_len, (s + 1) * scan_len)
-        xs_s = (gt_d[sl], gp_d[sl]) + ((gs_d[sl],) if gs_d is not None else ())
-        parts.append(scan_jit(params, embed, *xs_s))
-    chunk_scores = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    scores = jnp.transpose(chunk_scores, (1, 0, 2)).reshape(B, Wp)
+    for st, en in zip(starts, ends):
+        length = int(n_s[st])
+        Wl = en - st
+        if length <= 1:
+            # End-token-only targets: position-0 score only, no transformer
+            gt_parts.append(gt_s[st:en])
+            gp_parts.append(gp_s[st:en])
+            valid_parts.append(np.ones((Wl,), dtype=bool))
+            score_parts.append(None)
+            if vs_parts is not None:
+                vs_parts.append(vs_s[st:en])
+            if as_parts is not None:
+                as_parts.append(as_s[st:en])
+            continue
+        ch = min(chunk, Wl) if Wl < chunk else chunk
+        n_chunks = -(-Wl // ch)
+        scan_len = max(1, min(n_chunks, max_scan_chunks))
+        n_super = -(-n_chunks // scan_len)
+        n_chunks = n_super * scan_len
+        Wlp = n_chunks * ch
+        gt_p = np.zeros((Wlp, C), dtype=np.int32)
+        gt_p[:Wl] = gt_s[st:en]
+        gp_p = np.ones((Wlp, C), dtype=bool)
+        gp_p[:Wl] = gp_s[st:en]
+        valid = np.zeros((Wlp,), dtype=bool)
+        valid[:Wl] = True
+        gt_parts.append(gt_p)
+        gp_parts.append(gp_p)
+        valid_parts.append(valid)
+        if vs_parts is not None:
+            vs_p = np.zeros((Wlp,), dtype=np.float32)
+            vs_p[:Wl] = vs_s[st:en]
+            vs_parts.append(vs_p)
+        if as_parts is not None:
+            as_p = np.ones((Wlp,), dtype=np.float32)
+            as_p[:Wl] = as_s[st:en]
+            as_parts.append(as_p)
 
-    if precompute.vocab_scores is not None:
-        vs = jnp.zeros((Wp,), jnp.float32).at[:W].set(jnp.asarray(precompute.vocab_scores))
-        scores = scores - vs[None, :]
-    if precompute.alpha_scale is not None:
-        asc = jnp.ones((Wp,), jnp.float32).at[:W].set(jnp.asarray(precompute.alpha_scale))
-        scores = scores * asc[None, :]
-    scores = jnp.where(jnp.asarray(valid)[None, :], scores, NEG_INF)
+        gt_d = jnp.asarray(gt_p[:, :length]).reshape(n_chunks, ch, length)
+        if renorm:
+            gs_p = np.zeros((Wlp, length - 1, V), dtype=np.float32)
+            gs_p[:Wl] = gs_s[st:en, 1:length, :]
+            gs_d = jnp.asarray(gs_p).reshape(n_chunks, ch, length - 1, V)
+        parts = []
+        for s in range(n_super):
+            sl = slice(s * scan_len, (s + 1) * scan_len)
+            xs_s = (gt_d[sl],) + ((gs_d[sl],) if renorm else ())
+            parts.append(scan_jit(params, pk, pv, *xs_s))
+        body = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        score_parts.append(jnp.transpose(body, (1, 0, 2)).reshape(B, Wlp))
+
+    gt_all = np.concatenate(gt_parts, axis=0)
+    gp_all = np.concatenate(gp_parts, axis=0)
+    valid_all = np.concatenate(valid_parts, axis=0)
+    Wp = gt_all.shape[0]
+    body_scores = jnp.concatenate(
+        [s if s is not None else jnp.zeros((B, g.shape[0]), jnp.float32)
+         for s, g in zip(score_parts, gt_parts)], axis=1)
+
+    # Position-0 scores: one shared log-softmax of the prefill logits. With
+    # guide_renorm the position-0 mask is target-independent (every guide is
+    # alive at position 0), so it is one (V,) vector.
+    lse_in = logits1 / temperature
+    if renorm:
+        lse_in = lse_in + jnp.asarray(precompute.guide_scores[0, 0])[None, :]
+    logp0 = jax.nn.log_softmax(lse_in, axis=1)  # (B,V)
+    score0 = logp0[:, jnp.asarray(gt_all[:, 0])]  # (B,Wp)
+    scores = body_scores + score0
+
+    if vs_parts is not None:
+        scores = scores - jnp.asarray(np.concatenate(vs_parts))[None, :]
+    if as_parts is not None:
+        scores = scores * jnp.asarray(np.concatenate(as_parts))[None, :]
+    scores = jnp.where(jnp.asarray(valid_all)[None, :], scores, NEG_INF)
 
     topk_scores, topk_idx = jax.lax.top_k(scores, K)
-    gt_full = jnp.asarray(gt_p)
-    gp_full = jnp.asarray(gp_p)
-    topk_targets = gt_full[topk_idx]   # BxKxC
-    topk_paddings = gp_full[topk_idx]  # BxKxC
+    topk_targets = jnp.asarray(gt_all)[topk_idx]   # BxKxC
+    topk_paddings = jnp.asarray(gp_all)[topk_idx]  # BxKxC
     return topk_targets, topk_paddings, topk_scores

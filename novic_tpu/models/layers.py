@@ -364,6 +364,10 @@ class TransformerLayer(nn.Module):
     def _attend(self, q, k, v, attn_bias, deterministic):
         # q,k,v: (B,S[q|k],H,hd); attn_bias additive (Sq,Sk) broadcastable
         cfg = self.cfg
+        if cfg.attn_impl not in ("auto", "einsum", "vpu"):
+            raise ValueError(f"Unknown attn_impl: {cfg.attn_impl}")
+        if cfg.attn_impl == "vpu":
+            return self._attend_vpu(q, k, v, attn_bias, deterministic)
         scale = 1.0 / math.sqrt(cfg.head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32, precision=self.precision)
@@ -372,6 +376,25 @@ class TransformerLayer(nn.Module):
         attn = self.attn_dropout(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32, precision=self.precision)
+        B, Sq = out.shape[0], out.shape[1]
+        return out.reshape(B, Sq, cfg.hidden_dim)
+
+    def _attend_vpu(self, q, k, v, attn_bias, deterministic):
+        """Broadcast-multiply-reduce attention with scores laid out (B,Sq,Sk,H).
+
+        At this model's sequence lengths (S <= 13) the einsum formulation lowers
+        to ~B*H tiny (S,hd)x(hd,S) batched MXU matmuls plus head-major layout
+        transposes of every operand; keeping the head axis minor and reducing
+        over hd on the VPU instead measured 45->29 ms per 61k-token forward on
+        v5e (exp/all_bisect4.py). Mathematically identical up to f32 summation
+        order. Same reduction applies to the attn*v contraction."""
+        cfg = self.cfg
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        scores = ((q * scale)[:, :, None, :, :] * k[:, None, :, :, :]).sum(axis=-1)
+        scores = scores + jnp.expand_dims(attn_bias, -1)
+        attn = jax.nn.softmax(scores, axis=2)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
+        out = (attn[:, :, :, :, None] * v[:, None, :, :, :]).sum(axis=2)  # (B,Sq,H,hd)
         B, Sq = out.shape[0], out.shape[1]
         return out.reshape(B, Sq, cfg.hidden_dim)
 
@@ -541,6 +564,57 @@ class TransformerLayer(nn.Module):
             x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
         return x, tk, tv
 
+    def extend(self, x: jnp.ndarray, pk: jnp.ndarray, pv: jnp.ndarray,
+               token_bias: jnp.ndarray) -> jnp.ndarray:
+        """Multi-token teacher-forced forward against a frozen shared prefix cache.
+
+        The exhaustive-scoring path (generate_all) teacher-forces chunks of R
+        targets per image; the P prefix positions are identical across a
+        sample's R rows, so they are prefilled ONCE at Bb rows (prefill_split)
+        and shared here — vs the full forward recomputing the prefix MLP +
+        attention for every chunk (4 of 12 sequence positions at FT0 shapes).
+
+        x: (Bb*R, T, E) token inputs at sequence positions P..P+T-1, row
+        layout b*R + r (base-sample-major); pk/pv: (Bb, P, H, hd) frozen
+        prefix K/V; token_bias: (T, T) additive causal bias among the token
+        positions. Returns (Bb*R, T, E); writes no caches (one-shot scoring).
+
+        Attention uses the broadcast-reduce (VPU) formulation regardless of
+        cfg.attn_impl — this path exists for the large-rows/tiny-S scoring
+        regime where it measured 1.8x faster (exp/all_bisect4.py).
+        """
+        cfg = self.cfg
+        if cfg.layer_norm_first:
+            h = layer_norm(x, self.norm1_weight, self.norm1_bias)
+        else:
+            h = x
+        q, k, v = self._qkv(h)  # (A,T,H,hd)
+        A, T = x.shape[0], x.shape[1]
+        Bb, P = pk.shape[0], pk.shape[1]
+        R = A // Bb
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        qs = q * scale
+        st = (qs[:, :, None, :, :] * k[:, None, :, :, :]).sum(axis=-1)  # (A,T,T,H)
+        st = st + token_bias[:, :, None]
+        qb = qs.reshape(Bb, R, T, cfg.num_heads, cfg.head_dim)
+        sp = (qb[:, :, :, None, :, :] * pk[:, None, None, :, :, :]).sum(axis=-1)  # (Bb,R,T,P,H)
+        scores = jnp.concatenate([sp.reshape(A, T, P, cfg.num_heads), st], axis=2)
+        attn = jax.nn.softmax(scores, axis=2)  # (A,T,P+T,H)
+        ap = attn[:, :, :P, :].reshape(Bb, R, T, P, cfg.num_heads)
+        out_p = (ap[..., None] * pv[:, None, None, :, :, :]).sum(axis=3)  # (Bb,R,T,H,hd)
+        out_t = (attn[:, :, P:, :, None] * v[:, None, :, :, :]).sum(axis=2)  # (A,T,H,hd)
+        out = out_p.reshape(A, T, cfg.hidden_dim) + out_t.reshape(A, T, cfg.hidden_dim)
+        out = dense(out, self.out_proj_weight, self.out_proj_bias, precision=self.precision)
+        if self.scale1 is not None:
+            out = out * self.scale1
+        if cfg.layer_norm_first:
+            x = x + out
+            x = x + self._ff_block(layer_norm(x, self.norm2_weight, self.norm2_bias), deterministic=True)
+        else:
+            x = layer_norm(x + out, self.norm1_weight, self.norm1_bias)
+            x = layer_norm(x + self._ff_block(x, deterministic=True), self.norm2_weight, self.norm2_bias)
+        return x
+
     def prefill(self, x: jnp.ndarray, attn_bias: jnp.ndarray, k_cache: jnp.ndarray,
                 v_cache: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Multi-token forward that also fills the KV cache at positions [0, S)."""
@@ -632,6 +706,14 @@ class Transformer(nn.Module):
         if self.norm_weight is not None:
             x = layer_norm(x, self.norm_weight, self.norm_bias)
         return x, new_tk, new_tv
+
+    def extend(self, x, pk_caches, pv_caches, token_bias):
+        """Prefix-cached multi-token forward (see TransformerLayer.extend)."""
+        for i, layer in enumerate(self.layers):
+            x = layer.extend(x, pk_caches[i], pv_caches[i], token_bias)
+        if self.norm_weight is not None:
+            x = layer_norm(x, self.norm_weight, self.norm_bias)
+        return x
 
     def step_lazy(self, x, pk_caches, pv_caches, tk_caches, tv_caches, anc_bias, step):
         """Lazy-cache beam step (see TransformerLayer.step_lazy)."""

@@ -350,6 +350,25 @@ class PrefixedIterDecoder(nn.Module):
             x, pk_caches, pv_caches, tk_caches, tv_caches, step)
         return self.logits(x[:, 0, :]), tk_caches, tv_caches
 
+    def score_hidden(self, token_ids: jnp.ndarray, pk_caches, pv_caches) -> jnp.ndarray:
+        """Teacher-forced hidden states against a shared prefix cache.
+
+        token_ids: (A, T) target content tokens (positions 1..T of the target)
+        with A = Bb*R rows laid out b*R + r; pk/pv from prefill_split at Bb
+        rows. Returns (A, T, E) final-norm outputs at sequence positions
+        P..P+T-1 — the logits inputs predicting target positions 1..T (the
+        position-0 prediction comes from prefill_split's logits, shared by all
+        R targets of a sample). Used by generate_all: vs the full forward this
+        skips recomputing the P prefix positions per chunk (ref
+        embedding_decoder.py:1043-1079 re-forwards everything per chunk)."""
+        cfg = self.cfg
+        P = cfg.mlp_seq_len
+        T = token_ids.shape[1]
+        x = self.embed_tokens(token_ids)
+        x = x + jax.lax.slice_in_dim(self.pos_embedding, P, P + T, axis=0)[None, :, :]
+        token_bias = self.causality_bias[P : P + T, P : P + T]
+        return self.transformer.extend(x, pk_caches, pv_caches, token_bias)
+
     def decode_step_lazy(self, token_ids: jnp.ndarray, step: jnp.ndarray,
                          pk_caches, pv_caches, tk_caches, tv_caches, anc_bias):
         """Lazy-cache beam decode step: token caches are slot-stationary and
