@@ -31,6 +31,13 @@ Modes (env vars):
       the trie-state guided path (models/guide_trie.py); the e2e number is
       directly comparable to the unguided headline. W=42919 reproduces the
       FT0 released-vocabulary scale.
+  BENCH_ALL=<W>
+      Exhaustive-'all' scoring (gencfg method 'all': teacher-force EVERY one
+      of W guide targets per image, ref embedding_decoder.py:986-1079) over
+      an FT0-shaped synthetic guide set at the released decoder config.
+      Reported against this repo's round-3 pre-redesign measurement on the
+      same chip (236 s per 512-image batch at W=42919; the reference has no
+      published 'all' throughput). W=42919 reproduces FT0 scale.
 
 Benchmark hygiene for the remote-TPU (axon) environment: all tensors live on
 device (params initialized on device; synthetic uint8 camera frames generated
@@ -67,6 +74,7 @@ WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
 # A/B the beam KV-cache strategy: "" (generate_beam's auto), "lazy", "reorder"
 BEAM_CACHE = os.environ.get("BENCH_BEAM_CACHE", "auto")
 GUIDED = int(os.environ.get("BENCH_GUIDED", 0))  # guide-set size (0 = unguided)
+ALL_W = int(os.environ.get("BENCH_ALL", 0))      # exhaustive-'all' guide-set size
 
 # Per-backbone baselines: reference A6000 fp16-AMP image embed rates (B=256)
 # and text embed rates (B=512, "Text Speed" column; cache-creation workload)
@@ -301,6 +309,47 @@ def main():
         images = preprocess_uint8_device(raw_images, pcfg)
         feats = vision.apply({"params": v_params}, images)
         return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+
+    if ALL_W:
+        from novic_tpu.models.generate import generate_all, precompute_generate_all
+
+        grng = np.random.default_rng(0)
+        C = dcfg.token_length
+        glengths = grng.integers(1, C, size=ALL_W)
+        gtoks = grng.integers(1, dcfg.vocab_size, size=(ALL_W, C), dtype=np.int32)
+        guide_np = np.where(np.arange(C)[None, :] < glengths[:, None], gtoks, 0).astype(np.int32)
+        pre = precompute_generate_all(
+            dcfg.vocab_size, length_alpha=0.0, vocab_targets=None, vocab_per_token=False,
+            vocab_scaler=0.0, guide_targets=guide_np, guide_renorm=False)
+        embeds = jax.jit(embed_batch)(v_params, raw_dev)
+
+        def run_all():
+            out = generate_all(decoder, d_params, embeds, topk=10,
+                               guide_targets=guide_np, precompute=pre)
+            jax.tree_util.tree_map(np.asarray, out)
+
+        run_all()  # compile + warm
+        reps = max(ITERS // 3, 1)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run_all()
+        dt = (time.perf_counter() - t0) / reps
+        ips = BATCH / dt
+        # Pre-redesign measurement on this same chip: 236 s per 512-image
+        # batch at W=42919 (round-3 soak; rate scales ~1/W) — the reference
+        # publishes no 'all' throughput.
+        base_ips = (512.0 / 236.0) * (42919.0 / ALL_W)
+        print(json.dumps({
+            "metric": f"exhaustive_all_images_per_sec_b{BATCH}_w{ALL_W}",
+            "value": round(ips, 3),
+            "unit": "img/s",
+            "vs_baseline": round(ips / base_ips, 3),
+            "extra": {"seconds_per_batch": round(dt, 1), "guide_targets": ALL_W,
+                      "decoder_token_length": C,
+                      "baseline": "this repo pre-redesign round-3 soak "
+                                  "(236 s / 512 img at W=42919, same chip)"},
+        }))
+        return
 
     def one_batch_greedy(v_params, d_params, raw_images):
         embeds = embed_batch(v_params, raw_images)

@@ -24,11 +24,12 @@ BATCH, ACCUM, INNER, ITERS = 1024, 8, 5, 3  # effective batch 8192 (ref config)
 DTYPE = os.environ.get("TRAIN_DTYPE", "float32")
 DROP = float(os.environ.get("TRAIN_DROPOUT", "1"))
 DROP_IMPL = os.environ.get("TRAIN_DROPOUT_IMPL", "auto")
+ATTN = os.environ.get("TRAIN_ATTN", "auto")  # auto|einsum|vpu (models/layers.py _attend)
 cfg = DecoderModelConfig(embed_dim=768, vocab_size=4096, token_length=12,
                          hidden_dim=512, feedfwd_scale="1/4", mlp_seq_len=4,
                          num_layers=6, num_heads=8, compute_dtype=DTYPE,
                          input_dropout=0.15 * DROP, layer_dropout=0.05 * DROP,
-                         dropout_impl=DROP_IMPL)
+                         dropout_impl=DROP_IMPL, attn_impl=ATTN)
 model = PrefixedIterDecoder(cfg=cfg)
 kd, ke = jax.random.split(jax.random.PRNGKey(0))
 params = jax.jit(model.init)({"params": kd}, jnp.zeros((1, 768), jnp.float32),

@@ -34,6 +34,21 @@ from novic_tpu.models.layers import NEG_INF, dense, resolve_precision
 
 INF = -NEG_INF
 
+# Jitted-callable cache for the self-jitting paths (generate_all): a fresh
+# jax.jit wrapper per call has a new identity, so every call would retrace
+# AND recompile its programs — measured at ~half of a "warm" full-W
+# generate_all run on one CPU core. Keys are (tag, model type, config, ...)
+# so one process compiles each program shape once; jax.jit's internal cache
+# handles per-shape specialization under each entry.
+_JIT_CACHE: dict = {}
+
+
+def _cached_jit(key, make):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = make()
+    return fn
+
 
 def _scatter_allowed(base_shape: tuple, idx: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """-inf everywhere except 0 at positions named by idx (scatter trick,
@@ -668,18 +683,24 @@ def generate_all(
 
     # Prefill the shared prefix once per call. params/embed are jit
     # ARGUMENTS, not closures: a closure would inline the 51 MB decoder as
-    # HLO constants into the remote (axon) compile request.
-    prefill_fn = jax.jit(lambda p, e: model.apply({"params": p}, e, method="prefill_split"))
+    # HLO constants into the remote (axon) compile request. Jitted callables
+    # are cached at module level keyed by config — a fresh jax.jit wrapper
+    # per call would RETRACE+RECOMPILE every call (measured as ~half of a
+    # "warm" full-W run; the per-shape compile must happen once per process).
+    prefill_fn = _cached_jit(
+        ("prefill", type(model).__name__, cfg),
+        lambda: jax.jit(lambda p, e: model.apply({"params": p}, e, method="prefill_split")),
+    )
     logits1, pk, pv = prefill_fn(params, embed)  # (B,V), [(B,P,H,hd)]*L
 
     if chunk is None:
-        # The scoring core streams logits one position at a time, so the
-        # peak extra is one (chunk*B, V) f32 logits slab plus the
-        # (chunk*B, T, E) hidden/qkv tensors. Budget ~1 GB of logits and cap
-        # at 64 (the earlier materialized-logits design OOM'd at FT0 scale
-        # with anything past chunk~11; exp/soak_r03.py round 3).
-        budget_elems = 256_000_000
-        chunk = max(min(budget_elems // max(B * V, 1), 64), 8)
+        # Target ~1k rows (chunk*B) per scan step: the measured per-row cost
+        # RISES with the step's working set — 2.2 us/row-position at 1-2k
+        # rows vs 2.9 at 4k and 4.1 at 32k (exp: chunk/batch probe, round 3;
+        # XLA's fusion windows stop covering the (rows,V) logits slab and the
+        # extend intermediates past a few MB) — so small steps win ~1.9x over
+        # budget-sized ones. The scan amortizes per-step overhead either way.
+        chunk = max(min(1024 // max(B, 1), 64), 1)
 
     # Length-bucketed processing over length-sorted rows (stable sort keeps
     # the reference's lowest-index tie-break within a bucket).
@@ -700,7 +721,9 @@ def generate_all(
     renorm = gs_s is not None
 
     def scan_slice(p, pk, pv, *xs):
-        T = xs[0].shape[2] - 1  # tokens fed per target (length - 1)
+        T = xs[0].shape[2] - 1       # tokens fed per target (length - 1)
+        Bb = pk[0].shape[0]          # batch from the prefix cache, NOT closure
+        # (the jitted callable is cached per config and reused across calls)
 
         def score_chunk(carry, inputs):
             if renorm:
@@ -711,20 +734,20 @@ def generate_all(
             # Rows are base-sample-major (row = b*ch + g), matching
             # score_hidden/extend's (Bb, R) layout — under a data mesh the
             # sharded batch axis stays the major dim.
-            tok_in = jnp.tile(g_tok[:, :T], (B, 1))  # (B*ch, T)
+            tok_in = jnp.tile(g_tok[:, :T], (Bb, 1))  # (Bb*ch, T)
             h = model.apply({"params": p}, tok_in, pk, pv, method="score_hidden")
             w = p["logits_weight"]
             b_ = p.get("logits_bias")
             prec = resolve_precision(cfg.matmul_precision)
-            acc = jnp.zeros((B * ch,), jnp.float32)
+            acc = jnp.zeros((Bb * ch,), jnp.float32)
             for c in range(T):  # scored positions 1..T; position 0 is shared
                 lg = dense(h[:, c, :], w, b_, precision=prec)[:, :V] / temperature
                 if renorm:
-                    lg = lg + jnp.tile(g_scores[:, c, :], (B, 1))
-                tok_c = jnp.tile(g_tok[:, c + 1], (B,))
+                    lg = lg + jnp.tile(g_scores[:, c, :], (Bb, 1))
+                tok_c = jnp.tile(g_tok[:, c + 1], (Bb,))
                 at = jnp.take_along_axis(lg, tok_c[:, None], axis=1)[:, 0]
                 acc = acc + at - jax.scipy.special.logsumexp(lg, axis=1)
-            return carry, acc.reshape(B, ch)
+            return carry, acc.reshape(Bb, ch)
 
         return jax.lax.scan(score_chunk, None, xs)[1]  # (scan_len, B, chunk)
 
@@ -734,7 +757,13 @@ def generate_all(
     gt_parts, gp_parts, valid_parts, score_parts = [], [], [], []
     vs_parts = [] if vs_s is not None else None
     as_parts = [] if as_s is not None else None
-    scan_jit = jax.jit(scan_slice)
+    # One jitted scan per (model config, renorm, temperature); jax.jit's own
+    # per-shape cache covers the (T, chunk, scan_len, B) variations across
+    # buckets and calls.
+    scan_jit = _cached_jit(
+        ("all_scan", type(model).__name__, cfg, renorm, temperature),
+        lambda: jax.jit(scan_slice),
+    )
     for st, en in zip(starts, ends):
         length = int(n_s[st])
         Wl = en - st

@@ -540,6 +540,64 @@ def test_generate_all_matches_teacher_forcing(model_and_params):
         np.testing.assert_array_equal(np.asarray(tgt[b]), guides[order][:, :C])
 
 
+def test_generate_all_vocab_prior_and_alpha(model_and_params):
+    """Vocab-prior corrections and length-alpha scales must stay aligned with
+    their targets through the length-sorted bucket processing (a misalignment
+    would silently attribute one target's correction to another)."""
+    model, params = model_and_params
+    guides = np.zeros((6, CMAX), dtype=np.int32)
+    guides[0, :3] = [5, 6, 0]
+    guides[1, :4] = [5, 6, 7, 0]
+    guides[2, :2] = [9, 0]
+    guides[3, :3] = [11, 2, 0]
+    guides[4, :5] = [3, 3, 1, 4, 0]
+    guides[5, :2] = [2, 0]
+    vocab = guides.copy()
+    embed = unit_embeds(jax.random.PRNGKey(40), 2)
+    kw = dict(topk=6, guide_targets=guides, vocab_targets=vocab, vocab_scaler=0.35,
+              length_alpha=0.6, chunk=2)
+    tgt, pad, scores = generate_all(model, params, embed, **kw)
+    # Brute force: plain scores minus precomputed corrections, alpha-scaled
+    from novic_tpu.models.generate import precompute_generate_all
+    pre = precompute_generate_all(model.cfg.vocab_size, length_alpha=0.6,
+                                  vocab_targets=vocab, vocab_per_token=False,
+                                  vocab_scaler=0.35, guide_targets=guides,
+                                  guide_renorm=False)
+    C = pre.guide_targets.shape[1]
+    for b in range(2):
+        manual = []
+        for w in range(6):
+            g = guides[w:w + 1, :C]
+            logits, _, _, _, _ = apply_model(params, embed[b:b + 1], jnp.asarray(g))
+            lp = np.asarray(jax.nn.log_softmax(logits[0], axis=-1))
+            content = [i for i in range(C) if not (i > 0 and g[0, i - 1] == 0)]
+            s = sum(lp[i, g[0, i]] for i in content)
+            manual.append((s - pre.vocab_scores[w]) * pre.alpha_scale[w])
+        manual = np.asarray(manual)
+        order = np.argsort(-manual)
+        np.testing.assert_allclose(np.asarray(scores[b]), manual[order],
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(tgt[b]), guides[order][:, :C])
+
+
+def test_attn_impl_vpu_matches_einsum(model_and_params):
+    """attn_impl=vpu (broadcast-reduce) is the same math as the einsum
+    formulation up to f32 summation order."""
+    import dataclasses
+
+    model, params = model_and_params
+    model_vpu = PrefixedIterDecoder(cfg=dataclasses.replace(BASE_CFG, attn_impl="vpu"))
+    target, padding = random_targets(jax.random.PRNGKey(31), 4)
+    embed = unit_embeds(jax.random.PRNGKey(32), 4)
+    r1 = apply_model(params, embed, jnp.asarray(target), jnp.asarray(padding),
+                     calc_loss=True)
+    fn = jax.jit(lambda p, e, t, pd: model_vpu.apply(
+        {"params": p}, e, t, pd, None, calc_loss=True))
+    r2 = fn(params, embed, jnp.asarray(target), jnp.asarray(padding))
+    np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r2[0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(r1[2]), float(r2[2]), rtol=1e-6)
+
+
 def test_generate_all_beam_consistency(model_and_params):
     """Guided beam with renorm and generate_all agree on the best guide target."""
     model, params = model_and_params
