@@ -41,10 +41,11 @@ from novic_tpu.train.loop import TrainLoopConfig, train
 NOUNS = ["dog", "cat", "fire truck", "sea lion", "tree", "car", "hot dog", "apple"]
 
 
-def main():
-    workdir = tempfile.mkdtemp(prefix="novic_quickstart_")
-    print(f"Workdir: {workdir}")
+def build_demo_checkpoint(workdir):
+    """Steps 1-4 of the quickstart: embedder + cache + train + checkpoint.
 
+    Returns (checkpoint_path, clean per-noun embeddings). Reused by the other
+    examples (decoding_methods.py) so each stays a single runnable story."""
     # 1. Embedder + target config. 'test:<dim>' is the deterministic hash
     #    embedder (real specs: openai:*, openclip:*, transformers:*).
     embedder = Embedder.create("test:64")
@@ -97,6 +98,13 @@ def main():
                     cfg_flat={"embedder": "test:64", "action": "train"},
                     model_config=cfg, target_config=tc, data_config={},
                     target_nouns=("",) + tuple(NOUNS), num_invalid_target_nouns=1)
+    return ckpt, base
+
+
+def main():
+    workdir = tempfile.mkdtemp(prefix="novic_quickstart_")
+    print(f"Workdir: {workdir}")
+    ckpt, base = build_demo_checkpoint(workdir)
     with NOVICModel(ckpt, gencfg="beam_k3_vnone_gn_t1_a0", batch_size=8) as novic:
         out = novic.classify_embeds(base)  # clean per-noun embeddings
     for noun, preds in zip(NOUNS, out.preds):

@@ -24,6 +24,11 @@ def test_quickstart_example():
     assert "-->" in out  # classified predictions printed
 
 
+def test_decoding_methods_example():
+    out = _run("decoding_methods.py")
+    assert "OK: greedy/beam/all gencfg grid" in out
+
+
 def test_multichip_dp_example():
     out = _run("multichip_dp.py")
     assert "mesh: 8 x cpu" in out
