@@ -540,9 +540,40 @@ def generate_beam(
 class GenerateAllPrecompute:
     guide_targets: np.ndarray       # WxC trimmed, padding zeroed
     guide_paddings: np.ndarray      # WxC bool
-    guide_scores: Optional[np.ndarray]  # WxCxV renorm masks (0/-inf) or None
+    renorm_trie: Optional[dict]     # guide-trie children tables (renorm masks) or None
+    guide_nodes: Optional[np.ndarray]   # (W, C) trie node of each prefix (renorm only)
     vocab_scores: Optional[np.ndarray]  # (W,) prior correction per guide target
     alpha_scale: Optional[np.ndarray]   # (W,) length normalization
+
+
+def _trie_walk(trie: dict, tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Walk a guide_trie with (W, C) token rows (vectorized over W).
+
+    Returns (nodes (W,C), match_cnt (W,C), node_cnt (W,C), n_children (W,C)):
+    nodes[w,c] = trie node of prefix tokens[w,:c] (0 = dead); match_cnt[w,c] =
+    rows under the child matching tokens[w,c] (0 if none/dead); node_cnt[w,c]
+    = rows under the node; n_children[w,c] = number of distinct next tokens.
+    """
+    W, C = tokens.shape
+    nodes = np.zeros((W, C), dtype=np.int32)
+    match_cnt = np.zeros((W, C), dtype=np.int64)
+    node_cnt = np.zeros((W, C), dtype=np.int64)
+    n_children = np.zeros((W, C), dtype=np.int64)
+    node = np.ones((W,), dtype=np.int64)  # root
+    for c in range(C):
+        nodes[:, c] = node
+        ct = trie["child_tok"][c][node]    # (W, M_c)
+        cid = trie["child_id"][c][node]
+        cct = trie["child_cnt"][c][node]
+        eq = ct == tokens[:, c][:, None]
+        hit = eq.any(axis=1)
+        idx = np.argmax(eq, axis=1)
+        aw = np.arange(W)
+        match_cnt[:, c] = np.where(hit, cct[aw, idx], 0)
+        node_cnt[:, c] = trie["node_cnt"][c][node]
+        n_children[:, c] = (cid != 0).sum(axis=1)
+        node = np.where(hit, cid[aw, idx], 0).astype(np.int64)
+    return nodes, match_cnt, node_cnt, n_children
 
 
 def precompute_generate_all(
@@ -555,8 +586,20 @@ def precompute_generate_all(
     guide_targets: np.ndarray,
     guide_renorm: bool,
 ) -> GenerateAllPrecompute:
-    """Host-side precomputation (numpy) of guide paddings, renorm masks, vocab
-    prior corrections and alpha scales (ref embedding_decoder.py:986-1041)."""
+    """Host-side precomputation of guide paddings, renorm trie tables, vocab
+    prior corrections and alpha scales (ref embedding_decoder.py:986-1041).
+
+    The reference materializes a (W, C, W) prefix-alive mask for renorm and
+    walks a W x C python loop over (Z,) alive sets for vocab priors — O(W^2)
+    in memory/time, infeasible at FT0 scale (42,919 targets => a 16.6T-element
+    mask). The alive set of a prefix is a node of the guide/vocab trie
+    (guide_trie.py), so both reduce to O(W*C): renorm masks become per-chunk
+    scatters of the node's children row (built on device inside the scoring
+    scan), and vocab priors are exact alive-row counts read off a vectorized
+    trie walk. Numerics are identical — counts are duplicate-exact and the
+    prob/log/sum arithmetic matches the reference formulas elementwise
+    (pinned by tests/test_decoder.py test_precompute_trie_matches_quadratic).
+    """
     guide_targets = np.asarray(guide_targets)
     W, Cmax = guide_targets.shape
     V = vocab_size
@@ -567,41 +610,32 @@ def precompute_generate_all(
 
     C = Cmax - int(guide_paddings.all(axis=0).sum())
     guide_paddings = guide_paddings[:, :C]
-    guide_targets = np.where(guide_paddings, 0, guide_targets[:, :C])
+    guide_targets = np.where(guide_paddings, 0, guide_targets[:, :C]).astype(np.int32)
+
+    from novic_tpu.models.guide_trie import build_guide_trie
 
     if guide_renorm:
-        gt_T = guide_targets.T  # CxW
-        guide_mask = np.zeros((W, C, W), dtype=bool)
-        guide_mask[:, 1:, :] = np.not_equal(guide_targets[:, :-1, None], gt_T[None, :-1, :])
-        guide_mask[:, 1:, :] = np.maximum.accumulate(guide_mask[:, 1:, :], axis=1)
-        guide_scores = np.full((W, C, V), NEG_INF, dtype=np.float32)
-        w_idx = np.broadcast_to(np.arange(W)[:, None, None], (W, C, W))
-        c_idx = np.broadcast_to(np.arange(C)[None, :, None], (W, C, W))
-        tok_idx = np.broadcast_to(gt_T[None, :, :], (W, C, W))
-        valid = ~guide_mask
-        guide_scores[w_idx[valid], c_idx[valid], tok_idx[valid]] = 0.0
+        renorm_trie = build_guide_trie(guide_targets, V, C)
+        guide_nodes, _, _, _ = _trie_walk(renorm_trie, guide_targets)
+        # Every guide prefix is alive in its own trie by construction
+        assert (guide_nodes[:, 1:] > 0).all() if C > 1 else True
     else:
-        guide_scores = None
+        renorm_trie = None
+        guide_nodes = None
 
     if vocab_targets is None or vocab_scaler == 0:
         vocab_scores = None
     else:
         vocab_targets = np.asarray(vocab_targets)[:, :C]
-        Z = vocab_targets.shape[0]
-        vt_T = vocab_targets.T  # CxZ
-        vocab_mask = np.zeros((W, C, Z), dtype=bool)
-        vocab_mask[:, 1:, :] = np.not_equal(guide_targets[:, :-1, None], vt_T[None, :-1, :])
-        vocab_mask[:, 1:, :] = np.maximum.accumulate(vocab_mask[:, 1:, :], axis=1)
-        probs = np.zeros((W, C), dtype=np.float64)
-        for w in range(W):
-            for c in range(C):
-                alive = vt_T[c][~vocab_mask[w, c]]
-                tok = guide_targets[w, c]
-                if vocab_per_token:
-                    uniq = np.unique(alive)
-                    probs[w, c] = (1.0 / len(uniq)) if tok in uniq else 0.0
-                else:
-                    probs[w, c] = np.count_nonzero(alive == tok) / max(len(alive), 1)
+        v_trie = build_guide_trie(vocab_targets, V, C)
+        _, match_cnt, node_cnt, n_children = _trie_walk(v_trie, guide_targets)
+        # Reference formulas (ref embedding_decoder.py:1018-1041): per-target
+        # prior = |alive rows with this token| / |alive rows|; per-token prior
+        # = 1/|distinct next tokens| if this token continues some alive row.
+        if vocab_per_token:
+            probs = np.where(match_cnt > 0, 1.0 / np.maximum(n_children, 1), 0.0)
+        else:
+            probs = match_cnt / np.maximum(node_cnt, 1).astype(np.float64)
         with np.errstate(divide="ignore"):
             vocab_scores = np.log(probs)
         vocab_scores[~np.isfinite(vocab_scores)] = INF
@@ -614,9 +648,10 @@ def precompute_generate_all(
         n = np.maximum(C - guide_paddings.sum(axis=1), 1)
         alpha_scale = np.power(n.astype(np.float32), -length_alpha)
 
-    return GenerateAllPrecompute(guide_targets=guide_targets.astype(np.int32),
+    return GenerateAllPrecompute(guide_targets=guide_targets,
                                  guide_paddings=guide_paddings,
-                                 guide_scores=guide_scores,
+                                 renorm_trie=renorm_trie,
+                                 guide_nodes=guide_nodes,
                                  vocab_scores=vocab_scores,
                                  alpha_scale=alpha_scale)
 
@@ -709,7 +744,7 @@ def generate_all(
     gt_s = gt[order]
     gp_s = gp[order]
     n_s = n_pos[order]
-    gs_s = precompute.guide_scores[order] if precompute.guide_scores is not None else None
+    gn_s = precompute.guide_nodes[order] if precompute.guide_nodes is not None else None
     vs_s = precompute.vocab_scores[order] if precompute.vocab_scores is not None else None
     as_s = precompute.alpha_scale[order] if precompute.alpha_scale is not None else None
 
@@ -718,16 +753,20 @@ def generate_all(
     starts = [0] + bounds
     ends = bounds + [W]
 
-    renorm = gs_s is not None
+    renorm = gn_s is not None
+    # Renorm mask tables ride as jit ARGUMENTS (device arrays), like the
+    # beam/greedy tries — closure constants would inline them into the
+    # remote compile request (~MBs at FT0 scale).
+    rt_d = jax.device_put(precompute.renorm_trie) if renorm else None
 
-    def scan_slice(p, pk, pv, *xs):
+    def scan_slice(p, pk, pv, rt, *xs):
         T = xs[0].shape[2] - 1       # tokens fed per target (length - 1)
         Bb = pk[0].shape[0]          # batch from the prefix cache, NOT closure
         # (the jitted callable is cached per config and reused across calls)
 
         def score_chunk(carry, inputs):
             if renorm:
-                g_tok, g_scores = inputs
+                g_tok, g_nodes = inputs
             else:
                 (g_tok,) = inputs
             ch = g_tok.shape[0]
@@ -743,7 +782,12 @@ def generate_all(
             for c in range(T):  # scored positions 1..T; position 0 is shared
                 lg = dense(h[:, c, :], w, b_, precision=prec)[:, :V] / temperature
                 if renorm:
-                    lg = lg + jnp.tile(g_scores[:, c, :], (Bb, 1))
+                    # Allowed-token mask of this prefix's trie node at depth
+                    # c+1: the children row replaces the reference's
+                    # precomputed (W, C, V) score tensor (34 GB at FT0)
+                    gct = rt["child_tok"][c + 1][g_nodes[:, c + 1]]  # (ch, M)
+                    allowed = _scatter_allowed((ch, V + 1), gct)[:, :V]
+                    lg = lg + jnp.tile(allowed, (Bb, 1))
                 tok_c = jnp.tile(g_tok[:, c + 1], (Bb,))
                 at = jnp.take_along_axis(lg, tok_c[:, None], axis=1)[:, 0]
                 acc = acc + at - jax.scipy.special.logsumexp(lg, axis=1)
@@ -804,14 +848,14 @@ def generate_all(
 
         gt_d = jnp.asarray(gt_p[:, :length]).reshape(n_chunks, ch, length)
         if renorm:
-            gs_p = np.zeros((Wlp, length - 1, V), dtype=np.float32)
-            gs_p[:Wl] = gs_s[st:en, 1:length, :]
-            gs_d = jnp.asarray(gs_p).reshape(n_chunks, ch, length - 1, V)
+            gn_p = np.zeros((Wlp, length), dtype=np.int32)  # 0 = dead (pad rows)
+            gn_p[:Wl] = gn_s[st:en, :length]
+            gn_d = jnp.asarray(gn_p).reshape(n_chunks, ch, length)
         parts = []
         for s in range(n_super):
             sl = slice(s * scan_len, (s + 1) * scan_len)
-            xs_s = (gt_d[sl],) + ((gs_d[sl],) if renorm else ())
-            parts.append(scan_jit(params, pk, pv, *xs_s))
+            xs_s = (gt_d[sl],) + ((gn_d[sl],) if renorm else ())
+            parts.append(scan_jit(params, pk, pv, rt_d, *xs_s))
         body = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         score_parts.append(jnp.transpose(body, (1, 0, 2)).reshape(B, Wlp))
 
@@ -825,10 +869,13 @@ def generate_all(
 
     # Position-0 scores: one shared log-softmax of the prefill logits. With
     # guide_renorm the position-0 mask is target-independent (every guide is
-    # alive at position 0), so it is one (V,) vector.
+    # alive at position 0), so it is one (V,) vector — the root node's
+    # children row.
     lse_in = logits1 / temperature
     if renorm:
-        lse_in = lse_in + jnp.asarray(precompute.guide_scores[0, 0])[None, :]
+        root_ct = jnp.asarray(precompute.renorm_trie["child_tok"][0][1])
+        root_mask = _scatter_allowed((1, V + 1), root_ct[None, :])[0, :V]
+        lse_in = lse_in + root_mask[None, :]
     logp0 = jax.nn.log_softmax(lse_in, axis=1)  # (B,V)
     score0 = logp0[:, jnp.asarray(gt_all[:, 0])]  # (B,Wp)
     scores = body_scores + score0

@@ -580,6 +580,68 @@ def test_generate_all_vocab_prior_and_alpha(model_and_params):
         np.testing.assert_array_equal(np.asarray(tgt[b]), guides[order][:, :C])
 
 
+def test_precompute_trie_matches_quadratic():
+    """The O(W*C) trie-based precompute (vocab priors + renorm masks) must
+    equal the reference's O(W^2) formulation (ref embedding_decoder.py:
+    986-1041), including duplicate rows, dead prefixes (guide not in vocab),
+    and the per-token prior variant. The quadratic oracle is built here
+    explicitly."""
+    from novic_tpu.models.generate import INF, NEG_INF, precompute_generate_all
+
+    rng = np.random.default_rng(3)
+    Wn, C, V = 37, 5, 13
+    lengths = rng.integers(1, C, size=Wn)
+    toks = rng.integers(1, V, size=(Wn, C), dtype=np.int32)
+    guides = np.where(np.arange(C)[None, :] < lengths[:, None], toks, 0).astype(np.int32)
+    guides[5] = guides[2]  # exact duplicate rows (count-sensitive paths)
+    guides[6] = guides[2]
+    # vocab = a subset + extras, so some guide prefixes are dead in the vocab
+    vocab = np.concatenate([guides[::2], guides[:3]], axis=0)
+
+    for per_token in (False, True):
+        pre = precompute_generate_all(V, length_alpha=0.0, vocab_targets=vocab,
+                                      vocab_per_token=per_token, vocab_scaler=0.7,
+                                      guide_targets=guides, guide_renorm=True)
+        gt, gp = pre.guide_targets, pre.guide_paddings
+        Ct = gt.shape[1]
+        vt = vocab[:, :Ct]
+
+        # Quadratic oracle: vocab prior correction per (w, c)
+        probs = np.zeros((Wn, Ct), dtype=np.float64)
+        for w in range(Wn):
+            alive = np.ones(len(vt), dtype=bool)
+            for c in range(Ct):
+                toks_c = vt[alive, c]
+                tok = gt[w, c]
+                if per_token:
+                    uniq = np.unique(toks_c)
+                    probs[w, c] = (1.0 / len(uniq)) if tok in uniq else 0.0
+                else:
+                    probs[w, c] = np.count_nonzero(toks_c == tok) / max(len(toks_c), 1)
+                alive &= vt[:, c] == tok
+        with np.errstate(divide="ignore"):
+            vs = np.log(probs)
+        vs[~np.isfinite(vs)] = INF
+        vs[gp] = 0.0
+        vs = (vs.sum(axis=1) * 0.7).astype(np.float32)
+        np.testing.assert_array_equal(pre.vocab_scores, vs)
+
+        # Quadratic oracle: renorm allowed-token masks per (w, c) vs the trie
+        # node's children row
+        trie = pre.renorm_trie
+        for w in range(0, Wn, 5):
+            alive = np.ones(Wn, dtype=bool)
+            for c in range(Ct):
+                expect = np.full(V, NEG_INF, dtype=np.float32)
+                expect[np.unique(gt[alive, c])] = 0.0
+                node = pre.guide_nodes[w, c]
+                ct_row = trie["child_tok"][c][node]
+                got = np.full(V + 1, NEG_INF, dtype=np.float32)
+                got[ct_row[ct_row <= V]] = 0.0
+                np.testing.assert_array_equal(got[:V], expect)
+                alive &= gt[:, c] == gt[w, c]
+
+
 def test_attn_impl_vpu_matches_einsum(model_and_params):
     """attn_impl=vpu (broadcast-reduce) is the same math as the einsum
     formulation up to f32 summation order."""
