@@ -192,6 +192,24 @@ def test_novic_model_mesh_serving(trained_checkpoint):
                                np.asarray(out_single.logprobs), rtol=1e-4, atol=1e-5)
 
 
+def test_novic_model_mesh_serving_all(trained_checkpoint):
+    """Exhaustive-'all' scoring over an 8-device DP mesh matches
+    single-device output — the scan rows are base-sample-major (b*chunk+g)
+    precisely so the sharded batch axis stays the major dim."""
+    import jax
+    from novic_tpu.parallel.mesh import create_mesh
+
+    ckpt_path, _, base = trained_checkpoint
+    model = NOVICModel(ckpt_path, gencfg="all_k3_vtok0.5_gr_t1_a0.5", batch_size=8)
+    with model:
+        out_single = model.classify_embeds(base)
+        model.set_mesh(create_mesh(jax.devices()[:8]))
+        out_mesh = model.classify_embeds(base)
+    assert out_mesh.preds == out_single.preds
+    np.testing.assert_allclose(np.asarray(out_mesh.logprobs),
+                               np.asarray(out_single.logprobs), rtol=1e-4, atol=1e-5)
+
+
 def test_novic_model_mesh_batch_divisibility(trained_checkpoint):
     import jax
     from novic_tpu.parallel.mesh import create_mesh
