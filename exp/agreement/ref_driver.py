@@ -320,6 +320,119 @@ def cmd_eval(args) -> None:
           f"noun top1 {eval_top1_noun:.4%} over {num_samples} samples")
 
 
+def cmd_gencfgs(args) -> None:
+    """Run the REFERENCE's load_generation_configs (ref train.py:3775-3832) on
+    a list of config cases and dump the resulting canonical gencfg names, for
+    the grid/dedup/fallback differential."""
+    import train as ref_train  # reference module (hydra/wandb/timm shimmed)
+
+    with open(args.cases_json) as f:
+        cases = json.load(f)
+    out = []
+    for case in cases:
+        cfg = _load_ref_cfg(case.get("cfg", {}))
+        kwargs = case.get("kwargs", {})
+        try:
+            gencfgs = ref_train.load_generation_configs(cfg=cfg, **kwargs)
+            out.append({"names": [g.name for g in gencfgs]})
+        except ValueError as e:
+            out.append({"error": str(e)})
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"ref gencfgs: {len(out)} cases")
+
+
+def cmd_writerstreams(args) -> None:
+    """Run the REFERENCE's NounMultisetCacheWriter + CaptionsCacheWriter on a
+    shared vocab/prompts/captions fixture, with the embedder's inference_text
+    stubbed to RECORD the (text, targets) stream instead of embedding it.
+    Both stacks seed Mersenne identically and make the same sample() calls,
+    so the recorded streams must match ORDERED, element for element."""
+    import contextlib
+    import random
+
+    import torch
+    import embedders  # reference module
+    import embedding_cache_writers  # reference module
+    import noun_dataset  # reference module
+
+    emb = embedders.Embedder.create(
+        spec=f"transformers:{args.hf_dir}", amp=False, device="cpu",
+        load_model=False, check=False)
+    ds = noun_dataset.NounDataset(
+        embedder=emb, vocab_path=args.vocab_json, prompt_path=args.prompts_json,
+        prompt_collection=args.prompt_collection, hypernym_collection="None",
+        cache_dir=None, check_consistent=True)
+    tc = emb.create_target_config(
+        ds.targets, with_start_token=False, with_end_token=True,
+        compact_ids=True, fixed_token_length=False,
+        auto_fixed_token_length=True, use_masks=True)
+    emb.configure_target(target_config=tc, target_vocab=ds.targets)
+
+    # Record the text stream; return arbitrary unit embeddings (stream
+    # comparison does not depend on embedding values).
+    texts_log: list[str] = []
+    gen = torch.Generator().manual_seed(7)
+
+    def fake_inference_text(text):
+        texts_log.extend(text)
+        e = torch.randn((len(text), emb.embed_dim), generator=gen)
+        return torch.nn.functional.normalize(e, dim=-1)
+
+    emb.inference_text = fake_inference_text
+    emb.inference_model = contextlib.nullcontext
+
+    def record_targets(writer):
+        log_t: list = []
+        orig = writer.tensorize_embed_targets
+
+        def wrapped(embed_targets_str):
+            log_t.extend(t if isinstance(t, str) else list(t)
+                         for t in embed_targets_str)
+            return orig(embed_targets_str)
+
+        writer.tensorize_embed_targets = wrapped
+        return log_t
+
+    out: dict = {}
+
+    random.seed(args.seed)
+    cap = embedding_cache_writers.CaptionsCacheWriter(
+        cache_path=args.cache_dir + "/ref_captions.bin",
+        captions_path=args.captions_json, dataset=ds,
+        template_multiplier=args.template_multiplier,
+        sample_multiplier=args.sample_multiplier, print_approx=0)
+    texts_log.clear()
+    cap_targets = record_targets(cap)
+    cap.generate()
+    out["captions"] = {
+        "stream": list(zip(texts_log, cap_targets)),
+        "num_embed": int(cap.num_embed),
+        "unique_captions": int(cap.unique_captions),
+        "full_targets": bool(cap.header.full_targets),
+    }
+
+    random.seed(args.seed)
+    ms = embedding_cache_writers.NounMultisetCacheWriter(
+        cache_path=args.cache_dir + "/ref_multiset.bin", dataset=ds,
+        multi_target_freq=json.loads(args.multi_freq))
+    texts_log.clear()
+    ms_targets = record_targets(ms)
+    ms.generate()
+    out["multiset"] = {
+        "stream": list(zip(texts_log, ms_targets)),
+        "num_embed": int(ms.num_embed),
+        "multi_target_freq": list(ms.multi_target_freq),
+        "full_targets": bool(ms.header.full_targets),
+        "embed_targets_dim": int(ms.header.embed_targets_dim),
+    }
+
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"ref writerstreams: captions {len(out['captions']['stream'])} rows, "
+          f"multiset {len(out['multiset']['stream'])} rows")
+
+
 def cmd_readcache(args) -> None:
     """Open a cache file WRITTEN BY novic_tpu with the reference's own
     EmbeddingCache reader (byte-level format interop beyond the golden file)."""
@@ -428,6 +541,21 @@ def main() -> None:
     wc.add_argument("--hf-dir", required=True)
     wc.add_argument("--cache", required=True)
     wc.add_argument("--nouns-json", required=True)
+    gc = sub.add_parser("gencfgs")
+    gc.add_argument("--cases-json", required=True)
+    gc.add_argument("--out", required=True)
+    ws = sub.add_parser("writerstreams")
+    ws.add_argument("--hf-dir", required=True)
+    ws.add_argument("--vocab-json", required=True)
+    ws.add_argument("--prompts-json", required=True)
+    ws.add_argument("--captions-json", required=True)
+    ws.add_argument("--prompt-collection", default="ImageNet1K | CIFAR")
+    ws.add_argument("--multi-freq", default="[2, 1, 1]")
+    ws.add_argument("--template-multiplier", type=int, default=2)
+    ws.add_argument("--sample-multiplier", type=int, default=3)
+    ws.add_argument("--seed", type=int, default=1234)
+    ws.add_argument("--cache-dir", required=True)
+    ws.add_argument("--out", required=True)
     rc = sub.add_parser("readcache")
     rc.add_argument("--hf-dir", required=True)
     rc.add_argument("--cache", required=True)
@@ -437,7 +565,8 @@ def main() -> None:
     {"tokens": cmd_tokens, "embed": cmd_embed, "labels": cmd_labels,
      "labels_embeds": cmd_labels_embeds, "eval": cmd_eval,
      "noundata": cmd_noundata, "noise": cmd_noise, "score": cmd_score,
-     "readcache": cmd_readcache, "writecache": cmd_writecache}[args.cmd](args)
+     "readcache": cmd_readcache, "writecache": cmd_writecache,
+     "writerstreams": cmd_writerstreams, "gencfgs": cmd_gencfgs}[args.cmd](args)
 
 
 if __name__ == "__main__":

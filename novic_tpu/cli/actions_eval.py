@@ -11,7 +11,6 @@ Parity with the reference actions (reference train.py): embedder_zero_shot
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import json
 import math
 import os
@@ -494,33 +493,67 @@ def action_eval_cls(cfg):
 # ---------------------------------------------------------------------------
 
 
-def load_generation_configs(cfg) -> list[GenerationConfig]:
-    """Explicit gencfgs + optional grid sweep with greedy-axis dedup
-    (ref train.py:3788-3832)."""
-    names = list(cfg.gencfgs or ())
+def load_generation_config(cfg, **default_kwargs) -> GenerationConfig:
+    """cfg.gencfg by name, else a greedy default overridden by default_kwargs
+    (ref train.py:3775-3786)."""
     if cfg.gencfg:
-        names.append(cfg.gencfg)
-    gencfgs = [GenerationConfig.from_name(n) for n in names]
+        name = cfg.gencfg
+    else:
+        default = dict(method="greedy", topk=1, vocab_prior=False,
+                       vocab_per_token=False, vocab_scaler=0, guided=False,
+                       guide_renorm=False, temperature=1, length_alpha=0)
+        name = GenerationConfig(**{**default, **default_kwargs}).name
+    return GenerationConfig.from_name(name)
+
+
+def load_generation_configs(cfg, **default_kwargs) -> list[GenerationConfig]:
+    """Explicit gencfgs + optional grid sweep over the reference's axes
+    (gencfg_method/topk/prior/guide/tau/alpha) with the greedy-irrelevant-axis
+    coercions, via the value -> name -> parse round trip and ordered dedup
+    (ref train.py:3788-3832). Falls back to load_generation_config."""
+    specs = list(cfg.gencfgs or ())
     if cfg.gencfgs_grid:
-        seen = {g.name for g in gencfgs}
-        for method, topk, vp, vpt, vs, gd, gr, t, a in itertools.product(
-                cfg.grid_method, cfg.grid_topk, cfg.grid_vocab_prior, cfg.grid_vocab_per_token,
-                cfg.grid_vocab_scaler, cfg.grid_guided, cfg.grid_guide_renorm,
-                cfg.grid_temperature, cfg.grid_length_alpha):
-            if method == "greedy":
-                topk, vp = 1, False  # greedy-irrelevant axes dedup
-            if method == "all":
-                gd = True
-            g = GenerationConfig(method=method, topk=topk, vocab_prior=vp,
-                                 vocab_per_token=vpt and vp, vocab_scaler=vs if vp else 0.0,
-                                 guided=gd, guide_renorm=gr and gd, temperature=t,
-                                 length_alpha=a)
-            if g.name not in seen:
-                seen.add(g.name)
-                gencfgs.append(g)
-    if not gencfgs:
-        gencfgs = [GenerationConfig.from_name("beam_k10_vnone_gn_t1_a0")]
-    return gencfgs
+        for method in cfg.gencfg_method:
+            is_greedy = method == "greedy"
+            for topk in cfg.gencfg_topk:
+                if is_greedy:
+                    topk = 1
+                for prior in cfg.gencfg_prior:
+                    if prior == "none" or is_greedy:
+                        vocab_prior, vocab_per_token, vocab_scaler = False, False, 0
+                    else:
+                        vocab_prior = True
+                        match = re.fullmatch(r"(tok|tgt)(.*)", prior)
+                        try:
+                            vocab_per_token = match.group(1) == "tok"
+                            vocab_scaler = float(match.group(2))
+                        except (AttributeError, ValueError):
+                            raise ValueError(
+                                f"Failed to parse generation configuration prior: {prior}")
+                    for guide in cfg.gencfg_guide:
+                        if guide not in ("none", "plain", "renorm"):
+                            raise ValueError(
+                                f"Invalid generation configuration guiding "
+                                f"specification: {guide}")
+                        if is_greedy and guide == "renorm":
+                            guide = "plain"  # same decoded noun, different scores
+                        guided = guide != "none" or method == "all"
+                        guide_renorm = guide == "renorm"
+                        for tau in cfg.gencfg_tau:
+                            if is_greedy:
+                                tau = 1
+                            for alpha in cfg.gencfg_alpha:
+                                if is_greedy:
+                                    alpha = 0
+                                specs.append(GenerationConfig(
+                                    method=method, topk=topk, vocab_prior=vocab_prior,
+                                    vocab_per_token=vocab_per_token,
+                                    vocab_scaler=vocab_scaler, guided=guided,
+                                    guide_renorm=guide_renorm, temperature=tau,
+                                    length_alpha=alpha).name)
+    if specs:
+        return [GenerationConfig.from_name(n) for n in dict.fromkeys(specs)]
+    return [load_generation_config(cfg, **default_kwargs)]
 
 
 def action_eval_cls_decoding(cfg):
@@ -529,7 +562,7 @@ def action_eval_cls_decoding(cfg):
     ckpts = find_checkpoints(cfg)
     if not ckpts:
         raise ValueError("eval_cls_decoding requires load_model/load_models")
-    gencfgs = load_generation_configs(cfg)
+    gencfgs = load_generation_configs(cfg, guided=cfg.eval_guided)
     names = cfg.cls_datasets or [cfg.cls_dataset]
     run_dir = make_run_dir(cfg)
     metrics = MetricsLogger(run_dir=run_dir, use_wandb=cfg.use_wandb, wandb_kwargs=wandb_init_kwargs(cfg), project=cfg.wandb_project)
@@ -658,7 +691,7 @@ def action_infer(cfg):
     ckpts = find_checkpoints(cfg)
     if not ckpts:
         raise ValueError("infer requires load_model/load_models")
-    gencfgs = load_generation_configs(cfg)
+    gencfgs = load_generation_configs(cfg, guided=cfg.infer_guided)
 
     keys: list[str] = []
     embeds_parts = []

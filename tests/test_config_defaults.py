@@ -11,7 +11,7 @@ def test_defaults_parse_and_types():
     assert isinstance(cfg.init_lr, float) and cfg.init_lr == 1.5e-3
     assert isinstance(cfg.batch_size, int)
     assert isinstance(cfg.save_top1_min, float)
-    assert isinstance(cfg.grid_topk, list)
+    assert isinstance(cfg.gencfg_topk, list)
     assert cfg.feedfwd_scale == "1/4"
 
 

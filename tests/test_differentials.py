@@ -73,6 +73,18 @@ def test_noun_dataset_differential(agreement_fixtures):
 
 
 @needs_reference
+def test_gencfg_grid_differential(agreement_fixtures):
+    out = run_diff("gencfg_diff.py", timeout=900)
+    assert "ALL CASES MATCH" in out
+
+
+@needs_reference
+def test_cache_writer_stream_differential(agreement_fixtures):
+    out = run_diff("writers_diff.py", timeout=1200)
+    assert "ALL MATCH" in out
+
+
+@needs_reference
 def test_noise_differential(agreement_fixtures):
     # First build draws 1M seeded torch samples (>20 min on a contended
     # single core); later runs reuse the durably-mirrored dump in seconds.
