@@ -770,8 +770,18 @@ def action_infer(cfg):
                 result.extend([["correct", "valid_guide", "valid_vocab", "invalid"][r]
                                for r in row] for row in task.result.tolist())
             model_out["gencfgs"][g.name] = {"pred": preds, "score": scores, "result": result}
-            for key, p in zip(keys, preds):
-                log.info(f"[{g.name}] {key} --> {p[0]}")
+            if cfg.infer_debug:
+                # Full colored top-k table per sample (ref train.py:2665-2671)
+                colors = {"correct": "\033[92m", "valid_guide": "\033[96m",
+                          "valid_vocab": "\033[94m", "invalid": "\033[91m"}
+                for key, p, s, r in zip(keys, preds, scores, result):
+                    cells = "  ".join(
+                        f"{colors[res]}{pred}\033[0m = {score:.3g}"
+                        for pred, score, res in zip(p, s, r))
+                    log.info(f"[{g.name}] {key}: {cells}")
+            if cfg.infer_log:
+                for key, p in zip(keys, preds):
+                    log.info(f"[{g.name}] {key} --> {p[0]}")
         output["models"][os.path.basename(ckpt_path)] = model_out
 
     output["keys"] = keys
@@ -962,8 +972,13 @@ def action_format_preds(cfg):
             predictions = json.load(f)
         sample_keys = [os.path.basename(k) for k in predictions["keys"]]
         for model_name, model_out in predictions["models"].items():
-            label = f"{os.path.basename(path)}:{model_name}" \
-                if len(predictions["models"]) > 1 else model_name
+            if cfg.get("format_model_spec", True):
+                # Model column from the JSON's model spec (ref pfmt_model_spec)
+                label = f"{os.path.basename(path)}:{model_name}" \
+                    if len(predictions["models"]) > 1 else model_name
+            else:
+                label = os.path.basename(path) if len(predictions["models"]) == 1 \
+                    else f"{os.path.basename(path)}:{model_name}"
             loaded.append((label, sample_keys,
                            {g: out for g, out in model_out["gencfgs"].items()}))
     if not loaded:

@@ -15,6 +15,7 @@ import json
 import os
 import random
 import shutil
+import tempfile
 import time
 from typing import Optional
 
@@ -106,40 +107,56 @@ def action_collect_wiki_images(cfg):
 
 
 def action_sample_images(cfg):
-    """Random or CLIP-zero-shot-weighted multinomial image sampling
-    (weight = exp(factor * clamp(logit - mean)), ref train.py:3512-3576)."""
-    src = resolve_path(cfg, cfg.sample_images_dir)
-    out = resolve_path(cfg, cfg.sample_images_out)
-    if not src or not out:
-        raise ValueError("sample_images requires sample_images_dir and sample_images_out")
-    os.makedirs(out, exist_ok=True)
+    """Random or special-noun zero-shot-weighted image sampling: with
+    sample_special set, each image is weighted exp(sum_j factor_j *
+    max(logit_j - mean, 0)) over the special nouns' ImageNet1K-CLIP prompt
+    ensembles, then sampled multinomially without replacement into a
+    timestamped subdirectory of sample_output_dir (ref train.py:3512-3576)."""
+    src = resolve_path(cfg, cfg.sample_input_dir)
+    if not src:
+        raise ValueError("Need to specify an input image directory using sample_input_dir")
+    out_parent = resolve_path(cfg, cfg.sample_output_dir)
+    if not out_parent:
+        raise ValueError("Need to specify an output image directory using sample_output_dir")
     files = sorted(f for f in os.listdir(src)
-                   if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp", ".bmp")))
+                   if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp",
+                                          ".bmp", ".gif", ".tiff")))
     if not files:
         raise ValueError(f"No images found in {src}")
-    n = min(cfg.sample_images_num, len(files))
+    n = min(cfg.sample_count, len(files))
+    os.makedirs(out_parent, exist_ok=True)
+    out = tempfile.mkdtemp(
+        prefix=f"sampled-{time.strftime('%Y%m%d_%H%M%S')}-", dir=out_parent)
 
-    if not cfg.sample_images_weighted:
+    if not cfg.sample_special:
         rng = random.Random(cfg.seed)
         chosen = rng.sample(files, n)
     else:
         from novic_tpu.cli.actions_eval import compute_text_embeddings
+        from novic_tpu.data.classification import load_image_dataset_prompts
         from novic_tpu.embedders.preprocess import load_images
 
+        special = list(cfg.sample_special)
+        factors = np.asarray(cfg.sample_special_factor, np.float32)
+        if factors.shape != (len(special),):
+            raise ValueError(
+                "The lists sample_special and sample_special_factor must have "
+                "the same lengths")
         embedder = load_embedder(cfg, load_model=True)
-        dataset = load_noun_dataset(cfg, embedder, use_cache=False)
-        prompts = (("a photo of {noun}.", True),)
-        text_embeds = compute_text_embeddings(embedder, dataset.target_nouns[:512], prompts)
+        # ImageNet1K CLIP prompts are generally suitable for open-vocabulary
+        # images (ref train.py:3538)
+        prompts = load_image_dataset_prompts("imagenet1k", variant="clip")
+        text_embeds = compute_text_embeddings(embedder, special, prompts)  # (J, F)
         transform = embedder.get_image_transform()
-        logits_max = []
+        weights = []
         B = cfg.batch_size_image
         for i in range(0, len(files), B):
             paths = [os.path.join(src, f) for f in files[i:i + B]]
             embeds = embedder.inference_image(transform(load_images(paths)))
-            logits_max.extend((embeds @ text_embeds.T).max(axis=1).tolist())
-        logits_max = np.asarray(logits_max)
-        weights = np.exp(cfg.sample_images_factor *
-                         np.clip(logits_max - logits_max.mean(), -5, 5))
+            logits = embeds @ text_embeds.T  # (B, J)
+            excess = np.clip(logits - cfg.sample_special_mean, 0.0, None)
+            weights.extend(np.exp((excess * factors).sum(axis=1)).tolist())
+        weights = np.asarray(weights)
         weights /= weights.sum()
         rng = np.random.default_rng(cfg.seed)
         chosen = [files[i] for i in rng.choice(len(files), size=n, replace=False, p=weights)]
@@ -147,7 +164,7 @@ def action_sample_images(cfg):
     for f in chosen:
         shutil.copy2(os.path.join(src, f), os.path.join(out, f))
     log.info(f"Sampled {len(chosen)} images from {src} into {out}")
-    return chosen
+    return out, chosen
 
 
 def action_convert_embedder(cfg):

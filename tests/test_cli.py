@@ -593,3 +593,77 @@ def test_cli_infer_guide_sources(workdir, trained_ckpt):
     vocab_nouns = {v["target_noun"] for v in VOCAB}
     preds2 = out2["models"][model_name]["gencfgs"]["beam_k2_vnone_gr_t1_a0"]["pred"]
     assert all(p[0] in vocab_nouns for p in preds2)
+
+
+def test_cli_sample_images(workdir, tmp_path):
+    """sample_images: random sampling into a timestamped subdir, special-noun
+    zero-shot-weighted sampling, and factor-length validation
+    (ref train.py:3512-3576)."""
+    import numpy as np
+    import PIL.Image
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(src / f"img{i}.png")
+    (src / "notes.txt").write_text("not an image")
+    args = common_args(workdir)
+    out_parent = tmp_path / "sampled"
+
+    out, chosen = main(["action=sample_images", f"sample_input_dir={src}",
+                        f"sample_output_dir={out_parent}", "sample_count=4"] + args)
+    assert len(chosen) == 4 and len(set(chosen)) == 4
+    assert sorted(os.listdir(out)) == sorted(chosen)
+    assert os.path.dirname(out) == str(out_parent)
+
+    out2, chosen2 = main(["action=sample_images", f"sample_input_dir={src}",
+                          f"sample_output_dir={out_parent}", "sample_count=3",
+                          "sample_special=[dog, cat]",
+                          "sample_special_factor=[2.0, 1.0]",
+                          "batch_size_image=4"] + args)
+    assert len(chosen2) == len(set(chosen2)) == 3
+    assert sorted(os.listdir(out2)) == sorted(chosen2)
+
+    with pytest.raises(ValueError, match="same length"):
+        main(["action=sample_images", f"sample_input_dir={src}",
+              f"sample_output_dir={out_parent}", "sample_count=2",
+              "sample_special=[dog]", "sample_special_factor=[1.0, 2.0]"] + args)
+
+
+def test_cli_infer_log_debug_and_format_model_spec(workdir, trained_ckpt):
+    """infer_log/infer_debug logging knobs (ref train.py:2665-2676) and
+    format_model_spec labeling (ref pfmt_model_spec)."""
+    import logging
+
+    from novic_tpu.utils.logger import log as nlog
+
+    args = common_args(workdir)
+    model_args = ["batch_size=8", "hidden_dim=32", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+    preds_path = f"{workdir}/preds_log.json"
+    records: list[str] = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    nlog.addHandler(handler)
+    try:
+        main(["action=infer", f"load_model={trained_ckpt}",
+              "gencfg=greedy_k1_vnone_gn_t1_a0", "infer_log=false", "infer_debug=true",
+              "infer_texts=[a photo of a dog]",
+              f"predictions_path={preds_path}"] + model_args + args)
+    finally:
+        nlog.removeHandler(handler)
+    text = "\n".join(records)
+    assert " --> " not in text          # infer_log=false suppresses top-1 lines
+    assert "a photo of a dog:" in text  # infer_debug=true emits the top-k table
+
+    # format_model_spec=false labels rows by the predictions-JSON basename
+    ann_path = f"{workdir}/ann_log.json"
+    with open(ann_path, "w") as f:
+        json.dump({"a photo of a dog": {"correct_primary": ["dog"]}}, f)
+    grid = main(["action=format_preds", f"predictions_path={preds_path}",
+                 f"annotations_paths=[{ann_path}]", "format_mode=model_topk_v1",
+                 "format_model_spec=false"] + args)
+    (labels,) = [list(per_label) for per_label in grid.values()]
+    assert labels == [os.path.basename(preds_path)]
