@@ -658,6 +658,33 @@ class NOVICModel:
         if getattr(self, "_mesh", None) is not None:
             self.task.mesh = self._mesh
 
+    # -- image loading (ref infer.py:254-286) ----------------------------------
+
+    @classmethod
+    def load_image(cls, image_path: str):
+        """Generically load one image file as an RGB PIL.Image (ref infer.py:254-262)."""
+        import PIL.Image
+
+        return PIL.Image.open(image_path).convert("RGB")
+
+    @classmethod
+    def load_images(cls, image_paths: Sequence[str], *, image_dir: Optional[str] = None) -> list:
+        """Load many images, optionally resolving each path against image_dir
+        (ref infer.py:264-270)."""
+        import os
+
+        if image_dir is not None:
+            image_paths = [os.path.join(image_dir, p) for p in image_paths]
+        return [cls.load_image(p) for p in image_paths]
+
+    def load_image_batches(self, image_paths: Sequence[str], *, image_dir: Optional[str] = None,
+                           batch_size: Optional[int] = None) -> list[list]:
+        """Load images pre-split into inference-batch-sized lists
+        (ref infer.py:272-286). batch_size defaults to the model's batch size."""
+        B = batch_size or self.batch_size
+        images = self.load_images(list(image_paths), image_dir=image_dir)
+        return [images[i:i + B] for i in range(0, len(images), B)]
+
     # -- classification (ref infer.py:314-350) ----------------------------------
 
     def transform_images(self, images: Sequence) -> np.ndarray:
