@@ -60,7 +60,8 @@ def load_embedder(cfg, load_model: bool = False) -> Embedder:
         image_batch_size=cfg.batch_size_image,
         load_model=load_model,
     )
-    if not cfg.embedder.startswith("test:"):
+    is_test = cfg.embedder.split(":", 1)[0] in ("test", "test-structured")
+    if not is_test:
         kwargs.update(
             weights_path=resolve_path(cfg, cfg.embedder_weights) or None if cfg.embedder_weights else None,
             bpe_merges_path=resolve_path(cfg, cfg.bpe_merges_path) if cfg.bpe_merges_path else None,
@@ -85,6 +86,13 @@ def load_embedder(cfg, load_model: bool = False) -> Embedder:
             # must produce identical id numbering on both sides.
             nouns = [e["target_noun"] for e in vocab_json]
             kwargs["tokenizer"] = make_test_tokenizer(nouns)
+            if cfg.embedder.startswith("test-structured:"):
+                # The structured embedder additionally matches noun VARIANTS
+                # (singulars/plurals) inside prompt texts to place them on
+                # their class prototype (modality-gap geometry).
+                from novic_tpu.embedders.structured import lexicon_from_vocab_json
+
+                kwargs["lexicon"] = lexicon_from_vocab_json(vocab_json)
         except (OSError, ValueError, KeyError, TypeError) as e:
             log.warning(f"Could not build test tokenizer from vocab_path: {e}")
     return Embedder.create(cfg.embedder, **kwargs)

@@ -51,6 +51,7 @@ class Embedder:
         tokenizer: Optional[TextTokenizer] = None,  # explicit override (tests/benches)
         compute_dtype: str = "bfloat16",
         seed: int = 0,
+        lexicon: Optional[dict] = None,     # test-structured: variant -> noun matching table
     ) -> "Embedder":
         if ":" not in spec:
             raise ValueError(f"Embedder spec must be of the format 'TYPE:NAME': {spec}")
@@ -61,6 +62,15 @@ class Embedder:
                                 inference_batch_size=inference_batch_size,
                                 image_batch_size=image_batch_size, check=check,
                                 tokenizer=tokenizer)
+        if kind == "test-structured":
+            from novic_tpu.embedders.structured import StructuredEmbedder, parse_structured_spec
+
+            return StructuredEmbedder(spec=spec, lexicon=lexicon,
+                                      tokenizer_batch_size=tokenizer_batch_size,
+                                      inference_batch_size=inference_batch_size,
+                                      image_batch_size=image_batch_size, check=check,
+                                      tokenizer=tokenizer,
+                                      **parse_structured_spec(spec, name))
         if kind not in ("openai", "openclip", "transformers"):
             raise ValueError(f"Unsupported embedder type: {kind}")
         return JaxEmbedder(spec=spec, arch=lookup(spec),

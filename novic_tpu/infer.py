@@ -469,7 +469,7 @@ def load_decoder_from_checkpoint(checkpoint_path: str, embedder: Embedder,
     target_nouns = ckpt["target_nouns"]
     num_invalid = ckpt["num_invalid_target_nouns"]
     valid_nouns = target_nouns[num_invalid:]
-    if embedder.spec.startswith("test:"):
+    if embedder.spec.split(":", 1)[0] in ("test", "test-structured"):
         # The test embedder's tokenizer must be the one the checkpoint was
         # trained with (real backends get this from their tokenizer assets).
         # The compact maps pin the tokenizer vocab size: keep the current
@@ -549,6 +549,7 @@ class NOVICModel:
         self.embedder = Embedder.create(spec, load_model=False, **(embedder_kwargs or {}))
         self.decoder: Optional[Decoder] = None
         self.task: Optional[GenerationTask] = None
+        self._task_cache: dict[str, GenerationTask] = {}
         self._entered = 0
 
     @staticmethod
@@ -601,6 +602,7 @@ class NOVICModel:
             with open(guide_targets_file) as f:
                 guide_targets = [line.strip() for line in f if line.strip()]
         self._guide_target_strs = list(guide_targets) if guide_targets is not None else None
+        self._task_cache.clear()  # guide sets are baked into built tasks
         if self.decoder is not None:
             self._build_task()
 
@@ -614,6 +616,7 @@ class NOVICModel:
         single-device (SURVEY.md §2.13)."""
         self._mesh = mesh
         self.embedder.set_mesh(mesh)
+        self._task_cache = {k: t for k, t in self._task_cache.items() if t is self.task}
         if self.task is not None:
             self.task.mesh = mesh
             self.task._replicated_params = None
@@ -636,27 +639,42 @@ class NOVICModel:
             self.embedder.unload_model()
             self.decoder = None
             self.task = None
+            self._task_cache.clear()
         return False
 
     def load_decoder(self):
         self.decoder = load_decoder_from_checkpoint(self.checkpoint, self.embedder)
+        self._task_cache.clear()
         self._build_task()
 
     def _build_task(self):
+        self.task = self.task_for(self.gencfg)
+
+    def task_for(self, gencfg: Union[str, GenerationConfig]) -> GenerationTask:
+        """Built (compile-cache-carrying) GenerationTask for a gencfg, cached
+        per canonical name so switching gencfgs (e.g. per demo-server request)
+        swaps tasks instead of recompiling from scratch."""
+        gencfg = GenerationConfig.from_name(gencfg) if isinstance(gencfg, str) else gencfg
+        task = self._task_cache.get(gencfg.name)
+        if task is not None:
+            return task
         dec = self.decoder
+        assert dec is not None, "NOVICModel must be entered before building tasks"
         vocab_ids, vocab_strs = load_guide_targets(dec.target_tokenizer, dec.target_vocab)
         if self._guide_target_strs is not None:
             guide_ids, guide_strs = load_guide_targets(dec.target_tokenizer, self._guide_target_strs)
         else:
             guide_ids, guide_strs = vocab_ids, vocab_strs
-        self.task = GenerationTask(
-            gencfg=self.gencfg, decoder=dec,
+        task = GenerationTask(
+            gencfg=gencfg, decoder=dec,
             vocab_targets_set=set(vocab_strs), vocab_targets=vocab_ids,
             guide_targets_set=set(guide_strs),
-            guide_targets=guide_ids if (self.gencfg.guided or self.gencfg.method == "all") else None)
-        self.task.batch_pad = self.batch_size  # one compile per gencfg, ragged tails padded
+            guide_targets=guide_ids if (gencfg.guided or gencfg.method == "all") else None)
+        task.batch_pad = self.batch_size  # one compile per gencfg, ragged tails padded
         if getattr(self, "_mesh", None) is not None:
-            self.task.mesh = self._mesh
+            task.mesh = self._mesh
+        self._task_cache[gencfg.name] = task
+        return task
 
     # -- image loading (ref infer.py:254-286) ----------------------------------
 
@@ -681,7 +699,9 @@ class NOVICModel:
                            batch_size: Optional[int] = None) -> list[list]:
         """Load images pre-split into inference-batch-sized lists
         (ref infer.py:272-286). batch_size defaults to the model's batch size."""
-        B = batch_size or self.batch_size
+        B = self.batch_size if batch_size is None else batch_size
+        if B <= 0:
+            return []
         images = self.load_images(list(image_paths), image_dir=image_dir)
         return [images[i:i + B] for i in range(0, len(images), B)]
 
@@ -698,24 +718,30 @@ class NOVICModel:
             batches.append(self.embedder.inference_image(pixel))
         return np.concatenate(batches, axis=0)
 
-    def classify_embeds(self, embeds: np.ndarray) -> NOVICOutput:
+    def classify_embeds(self, embeds: np.ndarray,
+                        gencfg: Union[None, str, GenerationConfig] = None) -> NOVICOutput:
+        """Classify unit embeddings. `gencfg` selects a (cached) non-default
+        generation config for this call only, without mutating the model."""
         assert self.task is not None, "NOVICModel must be entered before classification"
-        self.task.clear()
+        task = self.task if gencfg is None else self.task_for(gencfg)
+        task.clear()
         preds, logprobs, types = [], [], []
         for i in range(0, embeds.shape[0], self.batch_size):
             chunk = embeds[i:i + self.batch_size]
-            self.task.process(chunk)
-            preds.extend(self.task.target_str)
-            logprobs.extend(self.task.target_score)
-            types.extend([[RESULT_NAMES[r] for r in row] for row in self.task.result.tolist()])
+            task.process(chunk)
+            preds.extend(task.target_str)
+            logprobs.extend(task.target_score)
+            types.extend([[RESULT_NAMES[r] for r in row] for row in task.result.tolist()])
         probs = [[float(np.exp(lp)) for lp in row] for row in logprobs]
         return NOVICOutput(preds=preds, logprobs=logprobs, probs=probs, types=types)
 
-    def classify_images(self, images: Sequence) -> NOVICOutput:
-        return self.classify_embeds(self.embed_images(images))
+    def classify_images(self, images: Sequence,
+                        gencfg: Union[None, str, GenerationConfig] = None) -> NOVICOutput:
+        return self.classify_embeds(self.embed_images(images), gencfg=gencfg)
 
-    def classify_image(self, image) -> NOVICOutput:
-        return self.classify_images([image])
+    def classify_image(self, image,
+                       gencfg: Union[None, str, GenerationConfig] = None) -> NOVICOutput:
+        return self.classify_images([image], gencfg=gencfg)
 
 
 # ---------------------------------------------------------------------------

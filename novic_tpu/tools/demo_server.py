@@ -119,13 +119,17 @@ class DemoState:
 
         image = PIL.Image.open(io.BytesIO(data)).convert("RGB")
         with self.lock:
-            if gencfg and gencfg != self.model.gencfg.name:
-                self.model.set_gencfg(gencfg)  # rebuilds the task; compile cached per gencfg
+            # gencfg is a per-request parameter: NOVICModel caches one built
+            # GenerationTask (with its compile cache) per canonical name, so a
+            # client toggling gencfgs pays one compile per distinct name and
+            # never changes the behavior other clients see.
             start = time.perf_counter()
-            out = self.model.classify_image(image)
+            out = self.model.classify_image(image, gencfg=gencfg or None)
             ms = (time.perf_counter() - start) * 1e3
+            used = (self.model.task_for(gencfg).gencfg.name if gencfg
+                    else self.model.gencfg.name)
         return {"preds": out.preds, "logprobs": out.logprobs, "probs": out.probs,
-                "types": out.types, "ms": ms, "gencfg": self.model.gencfg.name}
+                "types": out.types, "ms": ms, "gencfg": used}
 
 
 class DemoHandler(BaseHTTPRequestHandler):
@@ -162,9 +166,12 @@ class DemoHandler(BaseHTTPRequestHandler):
         route = self._route()
         st = self.state
         if route == "/":
+            import html
+
             m = st.model
-            page = _PAGE.format(checkpoint=os.path.basename(m.checkpoint),
-                                embedder=m.embedder.spec, gencfg=m.gencfg.name)
+            page = _PAGE.format(checkpoint=html.escape(os.path.basename(m.checkpoint)),
+                                embedder=html.escape(m.embedder.spec),
+                                gencfg=html.escape(m.gencfg.name))
             self._send(200, page.encode(), "text/html; charset=utf-8")
         elif route == "/healthz":
             self._json({"ok": True, "gencfg": st.model.gencfg.name})

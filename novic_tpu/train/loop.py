@@ -81,6 +81,34 @@ class TrainLoopState:
         return TrainLoopState(**d)
 
 
+def _accum_concat(xs: list):
+    """Concatenate one field of an accumulation group along the batch axis.
+
+    Group members may differ in trailing dims (the cache Dataset's dynamic
+    multi-target / token-length trims drop all-padding columns per batch,
+    data/cache.py:741-776); padding them back with the format's own padding
+    values (target id 0, padding-mask True, weight 0) reconstructs exactly the
+    untrimmed representation, so the concatenated meta-batch is loss-identical
+    to forwarding each batch separately."""
+    if xs[0] is None:
+        return None
+    if len(xs) == 1:
+        return xs[0]
+    import jax.numpy as jnp
+
+    xp = jnp if any(isinstance(x, jax.Array) for x in xs) else np
+    trailing = [max(x.shape[d] for x in xs) for d in range(1, xs[0].ndim)]
+    pad_value = True if xs[0].dtype == bool else 0
+
+    def pad(x):
+        widths = [(0, 0)] + [(0, t - s) for s, t in zip(x.shape[1:], trailing)]
+        if not any(w[1] for w in widths):
+            return x
+        return xp.pad(x, widths, constant_values=pad_value)
+
+    return xp.concatenate([pad(x) for x in xs], axis=0)
+
+
 def compute_chunk_batches(num_valid_targets: int, chunk_scale: float, batch_size: int) -> int:
     """chunk_batches = ceil(num_valid_targets * chunk_scale / batch_size)
     (ref train.py:990)."""
@@ -154,7 +182,12 @@ def train(
     schedule = lr_schedule_per_chunk(C.init_lr, C.final_lr, C.lr_scheduler, C.lr_warmup,
                                      C.max_chunks,
                                      start_chunk=S.chunk_id if C.lr_resume_fresh else 1)
-    ewa = EwaMetrics.create(C.loss_ewa_halflife, C.chunk_batches)
+    A = max(C.accum_size, 1)
+    if multi_first and A > 1:
+        raise ValueError("accum_factor > 1 requires batch-major data (multi_first=False)")
+    # EWA half-life is in chunks; updates arrive once per optimizer step
+    # (= accum_size loader batches), so the per-update factor scales with A
+    ewa = EwaMetrics.create(C.loss_ewa_halflife, max(C.chunk_batches / A, 1e-9))
     rng = jax.random.PRNGKey(S.rng_seed)
 
     if S.epoch_batches_left < 0:
@@ -179,6 +212,28 @@ def train(
                    float(m["correct"]), float(m["tokens"]))
         grad_norms.append(float(m["grad_norm"]))
 
+    accum_buf: list = []  # loader batches awaiting one accumulated optimizer step
+
+    def dispatch_accum():
+        """Concatenate the buffered loader batches into one meta-batch and
+        dispatch a single optimizer step (the step microbatches them back via
+        lax.scan — reference GradAccum semantics, effective batch =
+        batch_size * accum_factor, ref embedding_dataset.py:198-273 — but at
+        full loader-batch MXU shapes instead of host-side re-staging)."""
+        nonlocal state, pending, rng
+        rng, k = jax.random.split(rng)
+        batch_tuple = tuple(_accum_concat([b[j] for b in accum_buf]) for j in range(4))
+        accum_buf.clear()
+        state, m = step(state, batch_tuple, dispatch_accum.lr, k)
+        # One-step-delayed fetch: the host blocks on step t-1's scalar
+        # metrics only AFTER dispatching step t, so the device stream
+        # always has a step enqueued and is never drained — the fetch
+        # costs one scalar-transfer latency of host time per batch, not
+        # a device sync (safe at DP-8 step times of ~30 ms).
+        if pending is not None:
+            consume(pending)
+        pending = m
+
     while not stop_training:
         log.info("-" * 60)
         log.info(f"Epoch {S.epoch_id} = Batch {S.batch_id} = Sample {S.sample_id}")
@@ -189,8 +244,7 @@ def train(
                 log.info(f"Chunk {S.chunk_id} = Batch {S.batch_id} = Sample {S.sample_id}")
                 chunk_start = time.perf_counter()
 
-            lr = schedule(S.chunk_id)
-            rng, k = jax.random.split(rng)
+            lr = dispatch_accum.lr = schedule(S.chunk_id)
             embed, target, mask, weight = batch
 
             def prep(x, dtype=None):
@@ -200,17 +254,10 @@ def train(
                     return x
                 return np.ascontiguousarray(x, dtype=dtype) if dtype else np.ascontiguousarray(x)
 
-            batch_tuple = (prep(embed, np.float32), prep(target), prep(mask),
-                           prep(weight, np.float32))
-            state, m = step(state, batch_tuple, lr, k)
-            # One-step-delayed fetch: the host blocks on step t-1's scalar
-            # metrics only AFTER dispatching step t, so the device stream
-            # always has a step enqueued and is never drained — the fetch
-            # costs one scalar-transfer latency of host time per batch, not
-            # a device sync (safe at DP-8 step times of ~30 ms).
-            if pending is not None:
-                consume(pending)
-            pending = m
+            accum_buf.append((prep(embed, np.float32), prep(target), prep(mask),
+                              prep(weight, np.float32)))
+            if len(accum_buf) == A:
+                dispatch_accum()
 
             batch_samples = embed.shape[0]
             S.sample_id += batch_samples
@@ -278,6 +325,12 @@ def train(
             S.epoch_batches_left = C.epoch_batches
             S.epoch_id += 1
 
+    if accum_buf:
+        # Stopping mid-meta-batch: the reference likewise discards partially
+        # accumulated meta-batches at stop/resume (ref train.py:1431,1279)
+        log.info(f"Discarding {len(accum_buf)} loader batches of a partial "
+                 f"accumulation group at stop")
+        accum_buf.clear()
     if pending is not None:
         consume(pending)
     elapsed = time.perf_counter() - start_time

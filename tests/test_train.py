@@ -631,3 +631,72 @@ def test_train_loop_adamp_smoke():
              "input_dropout=0.0", "layer_dropout=0.0", "save_every_max=100",
              "save_top1_min=200"] + args)
         assert np.isfinite(ewa.loss) and ewa.top1 > 0.2
+
+
+def test_loop_accum_matches_big_batch(setup):
+    """Loop-level gradient accumulation (accum_size loader batches -> one
+    optimizer step, reference GradAccum semantics ref
+    embedding_dataset.py:198-273) produces the same parameters as training on
+    the pre-concatenated meta-batches, including when group members differ in
+    trimmed token length (the loop pads them back, train/loop.py
+    _accum_concat)."""
+    tmp, tok, tc, tt, cache_path = setup
+    rng = np.random.default_rng(11)
+    F_, B, C_tok = F, 8, tc.token_length
+    n_groups = 4
+
+    small_batches = []
+    for g in range(n_groups):
+        for k in range(2):
+            embed = rng.normal(size=(B, F_)).astype(np.float32)
+            embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+            target = rng.integers(2, tc.vocab_size, size=(B, C_tok)).astype(np.int32)
+            mask = np.zeros((B, C_tok), dtype=bool)
+            # Equal loss basis per microbatch (C_tok-1 unmasked tokens each, so
+            # mean-of-means == pooled mean): k0 keeps an explicitly masked last
+            # column, k1 has it trimmed away (the dataset's dynamic trim)
+            mask[:, -1] = True
+            target[:, -1] = 0
+            if k == 1:
+                target = target[:, :C_tok - 1]
+                mask = mask[:, :C_tok - 1]
+            small_batches.append((embed, target, mask, None))
+
+    big_batches = []
+    for g in range(n_groups):
+        a, b = small_batches[2 * g], small_batches[2 * g + 1]
+
+        def pad(x, val):
+            w = a[1].shape[1] - x.shape[1]
+            return np.pad(x, ((0, 0), (0, w)), constant_values=val) if w else x
+
+        big_batches.append((np.concatenate([a[0], b[0]]),
+                            np.concatenate([a[1], pad(b[1], 0)]),
+                            np.concatenate([a[2], pad(b[2], True)]), None))
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    results = []
+    for batches, accum, bs in ((small_batches, 2, B), (big_batches, 1, 2 * B)):
+        model, params = make_model(tc)
+        C = TrainLoopConfig(chunk_batches=len(batches), chunk_samples=len(batches) * bs,
+                            epoch_batches=len(batches), max_chunks=1, batch_size=bs,
+                            accum_size=accum, init_lr=1e-3, lr_warmup=0,
+                            save_every_max=1000, loss_ewa_halflife=1.0)
+        state, S, ewa = train(model=model, params=params, dataset=None,
+                              loader=ListLoader(batches), loader_info=None, C=C)
+        results.append((jax.tree.map(np.asarray, state.params), ewa))
+
+    (p1, e1), (p2, e2) = results
+    flat1, flat2 = jax.tree.leaves(p1), jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    assert abs(e1.loss - e2.loss) < 1e-4
