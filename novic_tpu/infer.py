@@ -125,6 +125,28 @@ class GenerationConfig:
         return gencfg
 
 
+def estimate_generation_cost(gencfg: "GenerationConfig", num_images: int,
+                             num_guide_targets: int = 0) -> float:
+    """Order-of-magnitude decode-cost estimate in seconds for running a
+    gencfg over num_images embeddings (new guard; the reference's grid
+    generator, ref train.py:3788-3832, commits to arbitrarily expensive
+    grids silently — an FT0-scale grid with an 'all' member costs hours).
+
+    Calibrated against on-chip measurements of the released 12M decoder
+    (BENCH_NOTES.md): greedy ~0.06 ms/img decode-only, beam ~k/10 * 0.2
+    ms/img, exhaustive 'all' ~45.3 s per 512 images at W=42,919 guide
+    targets (scales with W). Host-class hardware is slower; the estimate is
+    for relative budgeting, not wall-clock prediction."""
+    if gencfg.method == "all":
+        per_img = 45.3 / 512.0 * max(num_guide_targets, 1) / 42919.0
+    elif gencfg.method == "beam":
+        # greedy floor + measured beam-width overhead (~0.15 ms/img at k=10)
+        per_img = 0.06e-3 + 0.15e-3 * max(gencfg.topk, 1) / 10.0
+    else:
+        per_img = 0.06e-3
+    return per_img * num_images
+
+
 # ---------------------------------------------------------------------------
 # Decoder holder
 # ---------------------------------------------------------------------------
