@@ -198,6 +198,8 @@ REGISTRY: dict[str, EmbedderArch] = {
 def lookup(spec: str) -> EmbedderArch:
     if spec not in REGISTRY:
         arch = _arch_from_local_hf(spec)
+        if arch is None:
+            arch = _arch_from_local_openclip(spec)
         if arch is not None:
             REGISTRY[spec] = arch
             return arch
@@ -205,6 +207,136 @@ def lookup(spec: str) -> EmbedderArch:
             f"Unknown embedder spec '{spec}'. Known: {sorted(REGISTRY)} "
             f"(add new architectures to novic_tpu/embedders/registry.py)")
     return REGISTRY[spec]
+
+
+# Standard timm trunk geometries referenced by open_clip configs by NAME only
+# (the JSON carries just timm_model_name; the geometry lives in timm). Keyed
+# by the size word in the name; patch/image size parse from the name itself.
+_TIMM_SIGLIP_SIZES = {  # width, layers, heads, mlp_dim
+    "base": (768, 12, 12, 3072),
+    "large": (1024, 24, 16, 4096),
+    "so400m": (1152, 27, 16, 4304),
+}
+_TIMM_EVA02_SIZES = {  # width, layers, heads, mlp_hidden, swiglu/rope vs plain
+    "base": (768, 12, 12, 2048, True),
+    "large": (1024, 24, 16, 2730, True),
+    "enormous": (1792, 64, 16, 15360, False),
+}
+
+
+def _arch_from_local_openclip(spec: str) -> "EmbedderArch | None":
+    """Derive an EmbedderArch from a local open_clip checkpoint directory's
+    open_clip_config.json, so an UNSEEN 'openclip:<dir>' checkpoint of any
+    supported family (CLIP, SigLIP, CLIPA, EVA02) serves with zero code
+    changes (the reference factory accepts arbitrary hub names, ref
+    embedders.py:70-94,596-764; with zero egress only local dirs resolve).
+
+    Handles both the hub layout ({"model_cfg": ..., "preprocess_cfg": ...})
+    and a bare model-config JSON. timm-backed trunks (SigLIP, EVA02) are
+    resolved from timm_model_name via the standard size tables above;
+    explicit vision_cfg dicts (CLIP, CLIPA) are read field-by-field,
+    including the CLIPA quirk flags (no_ln_pre, pool_type 'avg',
+    final_ln_after_pool)."""
+    import json
+    import os
+    import re
+
+    if ":" not in spec:
+        return None
+    kind, name = spec.split(":", maxsplit=1)
+    cfg_path = os.path.join(name, "open_clip_config.json")
+    if kind != "openclip" or not os.path.isfile(cfg_path):
+        return None
+    with open(cfg_path) as f:
+        raw = json.load(f)
+    model = raw.get("model_cfg", raw)
+    pp = raw.get("preprocess_cfg", {})
+    v = model.get("vision_cfg", {})
+    t = model.get("text_cfg", {})
+    embed_dim = model.get("embed_dim", 512)
+
+    # -- text tower + tokenizer ------------------------------------------------
+    hf_tok = (t.get("hf_tokenizer_name") or "").lower()
+    if "bert" in hf_tok:
+        tokenizer = "wordpiece"        # CLIPA: BERT-uncased, strip-SEP
+    elif hf_tok:
+        tokenizer = "sentencepiece"    # SigLIP-style timm tokenizers
+    else:
+        tokenizer = "clip_bpe"
+    act_kwargs = t.get("act_kwargs") or {}
+    t_act = "gelu_tanh" if act_kwargs.get("approximate") == "tanh" else "gelu"
+    text = TextTowerConfig(
+        context_length=t.get("context_length", 77),
+        vocab_size=t.get("vocab_size", 49408),
+        width=t.get("width", 512), layers=t.get("layers", 12),
+        heads=t.get("heads", max(t.get("width", 512) // 64, 1)),
+        mlp_ratio=t.get("mlp_ratio", 4.0), embed_dim=embed_dim, act=t_act,
+        causal=not t.get("no_causal_mask", False),
+        pool={"last": "last", "argmax": "argmax", "tok": "argmax"}.get(
+            t.get("pool_type", "argmax"), "argmax"),
+        proj_bias=bool(t.get("proj_bias", False)),
+        layer_norm_eps=(t.get("norm_kwargs") or {}).get("eps", 1e-5))
+
+    # -- vision tower ----------------------------------------------------------
+    timm_name = v.get("timm_model_name") or ""
+    family = "clip"
+    if timm_name:
+        m = re.match(r"(vit|eva02)_([a-z0-9]+)_patch(\d+)_(siglip|clip)(_gap)?(?:_(\d+))?",
+                     timm_name)
+        if not m:
+            return None
+        trunk, size_word, patch, kind_word, gap, res = m.groups()
+        image_size = int(res) if res else v.get("image_size", 224)
+        patch = int(patch)
+        if trunk == "vit" and kind_word == "siglip":
+            if size_word not in _TIMM_SIGLIP_SIZES:
+                return None
+            w, l, h, mlp = _TIMM_SIGLIP_SIZES[size_word]
+            vision = VisionTowerConfig(
+                image_size=image_size, patch_size=patch, width=w, layers=l, heads=h,
+                mlp_ratio=mlp / w, embed_dim=embed_dim, act="gelu_tanh",
+                use_class_token=False, patch_bias=True, pre_ln=False,
+                pool="avg" if gap else "map", layer_norm_eps=1e-6)
+            family = "siglip"
+        elif trunk == "eva02":
+            if size_word not in _TIMM_EVA02_SIZES:
+                return None
+            w, l, h, mlp, modern = _TIMM_EVA02_SIZES[size_word]
+            vision = EvaVisionConfig(
+                image_size=image_size, patch_size=patch, width=w, layers=l, heads=h,
+                mlp_hidden=mlp, embed_dim=embed_dim, use_rope=modern,
+                ref_feat_shape=16, swiglu=modern, inner_attn_norm=modern,
+                qkv_fused=not modern)
+            family = "eva02"
+        else:
+            return None
+    else:
+        width = v.get("width", 768)
+        head_width = v.get("head_width", 64)
+        pool = {"tok": "cls", "avg": "avg"}.get(v.get("pool_type", "tok"), "cls")
+        vision = VisionTowerConfig(
+            image_size=v.get("image_size", 224), patch_size=v.get("patch_size", 16),
+            width=width, layers=v.get("layers", 12), heads=max(width // head_width, 1),
+            mlp_ratio=v.get("mlp_ratio", 4.0), embed_dim=embed_dim,
+            act="quick_gelu" if model.get("quick_gelu", False) else "gelu",
+            use_class_token=True, patch_bias=False,
+            pre_ln=not v.get("no_ln_pre", False), pool=pool)
+        if pool == "avg" and v.get("final_ln_after_pool", False) and tokenizer == "wordpiece":
+            family = "clipa"
+
+    # -- preprocessing ---------------------------------------------------------
+    size = pp.get("size", vision.image_size)
+    if isinstance(size, (list, tuple)):
+        size = int(size[0])
+    default_squash = family in ("siglip",)
+    resize_mode = pp.get("resize_mode", "squash" if default_squash else "shortest")
+    mean = tuple(pp.get("mean", SIGLIP_MEAN if family == "siglip" else CLIP_MEAN))
+    std = tuple(pp.get("std", SIGLIP_STD if family == "siglip" else CLIP_STD))
+    preprocess = PreprocessConfig(size=int(size), resize_mode=resize_mode,
+                                  mean=mean, std=std,
+                                  interpolation=pp.get("interpolation", "bicubic"))
+    return EmbedderArch(vision=vision, text=text, preprocess=preprocess,
+                        tokenizer=tokenizer, family=family)
 
 
 def _arch_from_local_hf(spec: str) -> "EmbedderArch | None":
@@ -227,6 +359,8 @@ def _arch_from_local_hf(spec: str) -> "EmbedderArch | None":
         hf = json.load(f)
     if hf.get("model_type") == "align":
         return _align_arch_from_local_hf(name, hf)
+    if hf.get("model_type") == "siglip":
+        return _siglip_arch_from_local_hf(hf)
     if hf.get("model_type") != "clip":
         return None
     v, t = hf["vision_config"], hf["text_config"]
@@ -253,6 +387,35 @@ def _arch_from_local_hf(spec: str) -> "EmbedderArch | None":
                                     resize_mode="shortest", mean=CLIP_MEAN, std=CLIP_STD),
         tokenizer="clip_bpe",
         family="clip",
+    )
+
+
+def _siglip_arch_from_local_hf(hf: dict) -> EmbedderArch:
+    """SigLIP arch from a local HF checkpoint dir (model_type 'siglip':
+    vision/text configs are explicit, unlike open_clip's timm-name indirection).
+    HF SiglipModel has no separate projection: embed_dim = hidden_size."""
+    v, t = hf["vision_config"], hf["text_config"]
+    vw, tw = v.get("hidden_size", 768), t.get("hidden_size", 768)
+    return EmbedderArch(
+        vision=VisionTowerConfig(
+            image_size=v.get("image_size", 224), patch_size=v.get("patch_size", 16),
+            width=vw, layers=v.get("num_hidden_layers", 12),
+            heads=v.get("num_attention_heads", 12),
+            mlp_ratio=v.get("intermediate_size", 3072) / vw,
+            embed_dim=vw, act="gelu_tanh", use_class_token=False, patch_bias=True,
+            pre_ln=False, pool="map", layer_norm_eps=v.get("layer_norm_eps", 1e-6)),
+        text=TextTowerConfig(
+            context_length=t.get("max_position_embeddings", 64),
+            vocab_size=t.get("vocab_size", 32000), width=tw,
+            layers=t.get("num_hidden_layers", 12),
+            heads=t.get("num_attention_heads", 12),
+            mlp_ratio=t.get("intermediate_size", 3072) / tw,
+            embed_dim=tw, act="gelu_tanh", causal=False, pool="last",
+            proj_bias=True, layer_norm_eps=t.get("layer_norm_eps", 1e-6)),
+        preprocess=PreprocessConfig(size=v.get("image_size", 224), resize_mode="squash",
+                                    mean=SIGLIP_MEAN, std=SIGLIP_STD),
+        tokenizer="sentencepiece",
+        family="siglip",
     )
 
 
