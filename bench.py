@@ -315,6 +315,12 @@ def main():
     v_params = jax.jit(vision.init)({"params": kv},
                                     jnp.zeros((1, S, S, 3), jnp.float32))["params"]
     if d_params_override is not None:
+        # The shipped asset stores fp16 params (half the repo weight); compute
+        # wants the training dtype back
+        d_params_override = jax.tree.map(
+            lambda a: np.asarray(a).astype(np.float32)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
+            d_params_override)
         d_params = jax.device_put(d_params_override)
     else:
         d_params = jax.jit(decoder.init)({"params": kd},

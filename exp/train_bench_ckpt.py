@@ -1,0 +1,135 @@
+"""Train the FT0-scale bench decoder checkpoint (assets/bench_ft0_decoder.npz).
+
+bench.py's production default (VERDICT r3 #3) serves a TRAINED FT0-vocabulary
+decoder with guided beam over the full 42,919-noun trie. This script produces
+that artifact quickly on the chip:
+
+  1. FT0 vocabulary (42,919 pseudo-nouns, exp/soak_r03.make_vocab) — the word
+     tokenizer compacts to the released ~8k decoder vocab and
+     auto_fixed_token_length lands at G=8 like the r03 soak.
+  2. A learnable cache written directly (per-noun prototype unit vectors +
+     angular jitter, no text formatting) — minutes instead of the soak's
+     43-minute multiset build; the decoder genuinely converges, so beam
+     end-token/finish behavior in the bench is data-realistic.
+  3. CLI training at the released recipe shapes (batch 1024 x accum 8 =
+     effective 8192 — the FIXED loop accumulation semantics). The logged
+     e2e noun/s is the round-4 evidence for the feed-gap fix (VERDICT #2).
+  4. The final checkpoint is re-saved with float16 params to
+     assets/bench_ft0_decoder.npz (half the size; bench.py casts to f32).
+
+Usage: python exp/train_bench_ckpt.py [--workdir D] [--rows N] [--epochs E]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from exp.soak_r03 import make_vocab
+from novic_tpu.cli.train import main as cli
+from novic_tpu.data.cache import EmbeddingCacheWriter
+from novic_tpu.text.simple import make_test_tokenizer
+from novic_tpu.text.target import TargetTokenizer, create_target_config
+
+F = 768
+
+
+def build_cache(path: str, nouns: list[str], rows: int, seed: int = 0):
+    tok = make_test_tokenizer(nouns)
+    tc = create_target_config(tok, nouns, with_start_token=False, with_end_token=True,
+                              compact_ids=True, fixed_token_length=True,
+                              auto_fixed_token_length=True, use_masks=True)
+    tt = TargetTokenizer(tok, tc)
+    rng = np.random.default_rng(seed)
+    # Per-noun prototypes in chunks (42,919 x 768 f32 = 132 MB, fine)
+    protos = rng.normal(size=(len(nouns), F)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    with EmbeddingCacheWriter(path, num_embed=rows, embed_dim=F, target_tokenizer=tt,
+                              target_nouns=nouns, num_embed_targets=1, shuffle=True,
+                              full_targets=False, unit_weights=True,
+                              embedder_strict=False, default_weights=True,
+                              seed=seed) as w:
+        chunk = 32768
+        for start in range(0, rows, chunk):
+            n = min(chunk, rows - start)
+            ids = rng.integers(1, len(nouns) + 1, size=(n, 1)).astype(np.int32)
+            e = protos[ids[:, 0] - 1] + 0.15 * rng.normal(size=(n, F)).astype(np.float32)
+            e /= np.linalg.norm(e, axis=1, keepdims=True)
+            w.write(e, ids)
+    print(f"[bench-ckpt] cache: {rows} rows in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    return tc
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/bench_ckpt")
+    p.add_argument("--rows", type=int, default=1_500_000)
+    p.add_argument("--epochs", type=float, default=2.0)
+    p.add_argument("--out", default=os.path.join(REPO, "assets", "bench_ft0_decoder.npz"))
+    args = p.parse_args()
+    W = args.workdir
+    os.makedirs(W, exist_ok=True)
+
+    vocab = make_vocab()
+    nouns = [e["target_noun"] for e in vocab]
+    vocab_path = os.path.join(W, "vocab.json")
+    if not os.path.exists(vocab_path):
+        with open(vocab_path, "w") as f:
+            json.dump(vocab, f)
+    cache = os.path.join(W, "cache.bin")
+    if not os.path.exists(cache) or os.path.getsize(cache) < args.rows * F * 4:
+        build_cache(cache, nouns, args.rows)
+
+    common = ["embedder=test:768", f"vocab_path={vocab_path}", "prompt_path=",
+              "prompt_collection=Basic", "hypernym_collection=None", "seed=0",
+              f"output_dir={W}/outputs"]
+    model_args = ["hidden_dim=512", "num_layers=6", "num_heads=8", "mlp_seq_len=4",
+                  "feedfwd_scale=1/4", "batch_size=1024", "accum_factor=8",
+                  "noise_scheme=GaussElemUniformAngle", "noise_vec_norm=0.5",
+                  "noise_angle_min=10", "noise_angle_max=30", "noise_mix_ratio=0.15"]
+    from novic_tpu.train.loop import compute_chunk_batches
+
+    chunk_batches = compute_chunk_batches(len(vocab), 2, 1024)
+    max_chunks = max(round(args.epochs * args.rows / (chunk_batches * 1024)), 2)
+    t0 = time.perf_counter()
+    state, S, ewa = cli(["action=train", f"embedding_dataset={cache}",
+                         f"max_chunks={max_chunks}", "chunk_scale=2",
+                         "init_lr=1.5e-3", "lr_warmup=4",
+                         "save_every_max=1000000", "save_top1_min=200"]
+                        + model_args + common)
+    dt = time.perf_counter() - t0
+    rate = (S.sample_id - 1) / dt
+    print(f"[bench-ckpt] trained {S.chunk_id - 1} chunks in {dt / 60:.1f} min = "
+          f"{rate:,.0f} noun/s e2e (fixed accum semantics; r03 soak was 4,682): "
+          f"loss {ewa.loss:.4f}, top1 {ewa.top1:.2%}", flush=True)
+
+    ckpt = sorted(glob.glob(f"{W}/outputs/ovod_*/*.npz"))[-1]
+    from novic_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    ck = load_checkpoint(ckpt)
+    params16 = {k: (v.astype(np.float16) if np.issubdtype(np.asarray(v).dtype, np.floating)
+                    else np.asarray(v)) for k, v in ck["params"].items()}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    save_checkpoint(args.out, params=params16, cfg_flat=ck.get("cfg_flat") or {},
+                    model_config=ck["model_config"], target_config=ck["target_config"],
+                    data_config=ck.get("data_config") or {},
+                    target_nouns=ck["target_nouns"],
+                    num_invalid_target_nouns=ck["num_invalid_target_nouns"])
+    print(f"[bench-ckpt] wrote {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB, fp16 params, "
+          f"G={ck['model_config'].token_length})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,11 @@ class VisionTowerConfig:
     # 1.77x SLOWER than three separate matmuls (171 vs 97 ms/batch) — the
     # (B,S,3,H,hd) output layout forces copies that outweigh re-reading x.
     fuse_qkv: bool = False
+    # Attention formulation: einsum (bhqk MXU batched matmuls, default) | vpu
+    # (head-minor broadcast-reduce, the decoder's small-S winner — measured at
+    # tower shapes in exp/tower_attn_vpu.py) | qkh (head-minor scores via
+    # einsum, MXU contraction without the bhqk layout transposes).
+    attn_impl: str = "einsum"
 
     @property
     def grid(self) -> int:
@@ -141,6 +146,7 @@ class TowerAttention(nn.Module):
     compute_dtype: str
     use_pallas: bool = False
     fuse_qkv: bool = False
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None,
@@ -193,6 +199,29 @@ class TowerAttention(nn.Module):
         # cast chain cost ~8 ms). The MXU still accumulates matmuls in f32.
         # bf16 spans the f32 exponent range, so the -1e30 causal bias is safe.
         dtj = jnp.dtype(dt)
+        if self.attn_impl == "vpu":
+            # Head-minor broadcast-reduce (no layout transposes; hd reduced on
+            # the VPU) — the decoder's small-S winner, measured at tower
+            # shapes in exp/tower_attn_vpu.py
+            scores = ((q * scale).astype(dtj)[:, :, None] * k.astype(dtj)[:, None]).sum(-1)
+            if attn_bias is not None:
+                scores = scores + attn_bias.astype(dtj)[..., None]
+            attn = jax.nn.softmax(scores, axis=2)
+            out = (attn[..., None] * v.astype(dtj)[:, None]).sum(axis=2)
+            return tower_dense(out.reshape(B, Sq, E).astype(jnp.float32), wo, bo, dt)
+        if self.attn_impl == "qkh":
+            # Head-minor scores via MXU einsum: same contraction, no bhqk
+            # transposes of q/k/v
+            scores = jnp.einsum("bqhd,bkhd->bqkh", (q * scale).astype(dtj),
+                                k.astype(dtj), preferred_element_type=dtj,
+                                precision=_precision_for(dt))
+            if attn_bias is not None:
+                scores = scores + attn_bias.astype(dtj)[..., None]
+            attn = jax.nn.softmax(scores, axis=2)
+            out = jnp.einsum("bqkh,bkhd->bqhd", attn, v.astype(dtj),
+                             preferred_element_type=jnp.float32,
+                             precision=_precision_for(dt))
+            return tower_dense(out.reshape(B, Sq, E), wo, bo, dt)
         scores = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(dtj),
                             k.astype(dtj), preferred_element_type=dtj,
                             precision=_precision_for(dt))
@@ -216,6 +245,7 @@ class TowerBlock(nn.Module):
     compute_dtype: str
     use_pallas: bool = False
     fuse_qkv: bool = False
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -237,7 +267,7 @@ class TowerBlock(nn.Module):
         h = f32_layer_norm(x, n1w, n1b, self.eps, out_dtype=dt)
         attn_out = TowerAttention(width=E, heads=self.heads, compute_dtype=self.compute_dtype,
                                   use_pallas=self.use_pallas, fuse_qkv=self.fuse_qkv,
-                                  name="attn")(h, attn_bias)
+                                  attn_impl=self.attn_impl, name="attn")(h, attn_bias)
         x = x + attn_out.astype(dt)
         h = f32_layer_norm(x, n2w, n2b, self.eps, out_dtype=dt)
         h = tower_dense(h, w1, b1, self.compute_dtype).astype(dt)
@@ -292,7 +322,7 @@ class VisionTransformer(nn.Module):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
                            use_pallas=cfg.use_pallas_attention, fuse_qkv=cfg.fuse_qkv,
-                           name=f"blocks_{i}")(x)
+                           attn_impl=cfg.attn_impl, name=f"blocks_{i}")(x)
 
         postw = self.param("post_ln_weight", nn.initializers.ones, (E,))
         postb = self.param("post_ln_bias", nn.initializers.zeros, (E,))

@@ -26,6 +26,37 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r3 #7): the default `pytest tests/ -q` run is the FAST
+# tier (< 10 min — unit + one pass over each subsystem); heavyweight
+# pipeline/differential tests are marked `slow` and run with
+# `pytest tests/ --full` (or NOVIC_FULL_SUITE=1) — the CI / pre-commit tier.
+# ---------------------------------------------------------------------------
+
+
+def pytest_addoption(parser):
+    parser.addoption("--full", action="store_true", default=False,
+                     help="run the full suite including slow-tier tests")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy CLI-pipeline / differential / soak tests "
+        "(default run deselects them; enable with --full or NOVIC_FULL_SUITE=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if (config.getoption("--full")
+            or os.environ.get("NOVIC_FULL_SUITE", "") not in ("", "0")
+            or config.getoption("-m")):  # explicit -m selection overrides tiers
+        return
+    selected, deselected = [], []
+    for item in items:
+        (deselected if item.get_closest_marker("slow") else selected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
 
 @pytest.fixture(scope="session")
 def cpu_devices():

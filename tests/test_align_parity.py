@@ -13,6 +13,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier (pytest --full)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

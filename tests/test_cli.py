@@ -193,6 +193,7 @@ def test_cli_format_metrics(workdir, trained_ckpt):
     assert isinstance(rows, list) and rows
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_cli_orbax_checkpoint_train_resume_infer(workdir, trained_ckpt):
     """checkpoint_format=orbax: train saves .orbax dirs, resume loads them,
     eval accepts an .orbax path directly."""
@@ -463,6 +464,7 @@ def test_parse_duration_and_stamp():
     assert parse_datetime_str("20260101_120000") == "2026-01-01T12:00:00+00:00"
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_cli_released_prompt_recipe_and_class_name_variants(workdir, mnist_root, tmp_path, trained_ckpt):
     """The shipped data tables drive the released recipe: cache_noun_multiset
     with prompt_collection='ImageNet1K | CIFAR' uses the released 85-singular/

@@ -376,6 +376,7 @@ def test_beam_guided(model_and_params):
     dict(topk=3, vocab=True, vocab_scaler=0.5, vocab_per_token=True, guided=True),
     dict(topk=4, temperature=0.7, length_alpha=0.3, guided=True),
 ])
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_beam_lazy_cache_equivalence(model_and_params, kw):
     """The slot-stationary (ancestry-bias) beam cache is result-identical to
     the reorder cache: same chosen tokens/paddings, scores within fp tolerance.
@@ -463,6 +464,7 @@ def test_guide_trie_builder_matches_brute_force():
     dict(topk=4, guided=True, vocab="own", vocab_scaler=0.6),
     dict(topk=4, guided=True, vocab="own", vocab_scaler=0.6, vocab_per_token=True),
 ])
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_beam_trie_equals_mask(model_and_params, kw):
     """Trie-node guided decoding is result-identical to the (B,H,W) alive-mask
     formulation — the alive set of a candidate IS a trie node. The trie path

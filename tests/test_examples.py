@@ -1,5 +1,9 @@
 """The public examples stay runnable (subprocess smoke on the CPU mesh)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier (pytest --full)
+
 import os
 import subprocess
 import sys

@@ -145,6 +145,7 @@ def test_generation_task_stats(trained_checkpoint):
         assert task.topk_valid[0] >= task.topk[0]
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_generation_task_trie_path_matches_mask(trained_checkpoint, monkeypatch):
     """Lowering TRIE_MIN_TARGETS engages the trie-state guided decode in the
     serving path; results must match the mask path (the default here, since the
@@ -177,6 +178,7 @@ def test_guide_targets_longer_than_token_length_raise(trained_checkpoint):
             pass
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_novic_model_mesh_serving(trained_checkpoint):
     """classify_embeds over an 8-device DP mesh matches single-device output
     (batches shard over mesh('data'), decoder params replicate)."""
@@ -194,6 +196,7 @@ def test_novic_model_mesh_serving(trained_checkpoint):
                                np.asarray(out_single.logprobs), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_novic_model_mesh_serving_all(trained_checkpoint):
     """Exhaustive-'all' scoring over an 8-device DP mesh matches
     single-device output — the scan rows are base-sample-major (b*chunk+g)
@@ -247,6 +250,7 @@ def test_peek_embedder_spec_missing_vs_corrupt(tmp_path):
     with pytest.raises(FileNotFoundError):
         NOVICModel._peek_embedder_spec(str(tmp_path / "nope.npz"))
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_generation_task_list_pipelining_equals_sequential(trained_checkpoint):
     """N pipelined tasks over batches == the same tasks run one-by-one
     (VERDICT r2 weak #5; ref train.py:170-231 overlaps update(i) with
@@ -361,6 +365,7 @@ def test_load_image_batches(trained_checkpoint, tmp_path):
     assert [len(b) for b in batches] == [4, 1]
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_demo_server(trained_checkpoint, tmp_path):
     """Live-demo HTTP server end-to-end: page, gallery, upload classify,
     sample classify, and the error paths (tools/demo_server.py; analogue of

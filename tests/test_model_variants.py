@@ -58,10 +58,12 @@ def run_variant(**kw):
     dict(label_smoothing=0.1),
     dict(compute_dtype="bfloat16"),
 ])
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_variant_runs(kw):
     run_variant(**kw)
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
 def test_vocab_quant_unused_rows():
     cfg, model, params = run_variant(vocab_quant=True)
     assert cfg.vocab_size_quant == 64

@@ -5,6 +5,10 @@ TPU-native equivalent is an xprof trace, reachable from the config surface
 (config/train.yaml profile_dir -> train/loop.py jax.profiler.start_trace).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier (pytest --full)
+
 import glob
 import json
 import os

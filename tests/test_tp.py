@@ -5,6 +5,8 @@ capability — the reference is single-device, SURVEY.md §2.13)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier (pytest --full)
+
 import jax
 from jax.sharding import Mesh
 
