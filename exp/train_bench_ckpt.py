@@ -117,9 +117,13 @@ def main():
     ckpt = sorted(glob.glob(f"{W}/outputs/ovod_*/*.npz"))[-1]
     from novic_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
+    import jax
+
     ck = load_checkpoint(ckpt)
-    params16 = {k: (v.astype(np.float16) if np.issubdtype(np.asarray(v).dtype, np.floating)
-                    else np.asarray(v)) for k, v in ck["params"].items()}
+    params16 = jax.tree.map(
+        lambda v: (np.asarray(v).astype(np.float16)
+                   if np.issubdtype(np.asarray(v).dtype, np.floating) else np.asarray(v)),
+        ck["params"])
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     save_checkpoint(args.out, params=params16, cfg_flat=ck.get("cfg_flat") or {},
                     model_config=ck["model_config"], target_config=ck["target_config"],
