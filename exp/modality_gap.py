@@ -63,6 +63,8 @@ def run(a) -> dict:
         write_structured_cls_dataset(cls_root, nouns, a.images_per_class, seed=a.seed + 1)
 
     spec = f"test-structured:{a.dim}:{a.gap}:{a.jitter}:{a.seed}"
+    if a.gap_mix != 1.0:
+        spec += f":{a.gap_mix}"
     common = [f"embedder={spec}", f"vocab_path={vocab_path}", "prompt_path=",
               "prompt_collection=Basic", "hypernym_collection=None",
               f"seed={a.seed}", f"output_dir={a.workdir}/outputs"]
@@ -141,6 +143,7 @@ def main(argv=None) -> int:
     p.add_argument("--gap", type=float, default=60.0)
     p.add_argument("--jitter", type=float, default=10.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gap-mix", type=float, default=1.0)
     p.add_argument("--freq", type=int, default=40)
     p.add_argument("--images-per-class", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)

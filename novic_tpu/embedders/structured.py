@@ -134,7 +134,7 @@ class StructuredEmbedder(HashEmbedder):
     with gap/jitter in degrees (defaults 60 / 10 / 0)."""
 
     def __init__(self, *, spec: str, embed_dim: int, gap_deg: float = 60.0,
-                 jitter_deg: float = 10.0, seed: int = 0,
+                 jitter_deg: float = 10.0, seed: int = 0, gap_mix: float = 1.0,
                  lexicon: Optional[dict[str, str]] = None,
                  tokenizer_batch_size: int = 1024, inference_batch_size: int = 256,
                  image_batch_size: int = 128, check: bool = False, tokenizer=None):
@@ -143,9 +143,16 @@ class StructuredEmbedder(HashEmbedder):
                          inference_batch_size=inference_batch_size,
                          image_batch_size=image_batch_size, check=check,
                          tokenizer=tokenizer)
-        self.configuration.update(gap_deg=gap_deg, jitter_deg=jitter_deg, seed=seed)
+        self.configuration.update(gap_deg=gap_deg, jitter_deg=jitter_deg, seed=seed,
+                                  gap_mix=gap_mix)
         self.gap_deg = float(gap_deg)
         self.jitter_deg = float(jitter_deg)
+        # gap_mix: weight of the GLOBAL gap direction vs a per-class one.
+        # 1.0 = purely global (a constant rotation: mean_shift alone fully
+        # compensates it); <1.0 mixes in a class-dependent component that a
+        # translation cannot undo — the real-CLIP regime where the paper's
+        # arm ordering (noise+shift >= noise > shift > none) emerges.
+        self.gap_mix = float(gap_mix)
         self.seed = int(seed)
         self._explicit_lexicon = dict(lexicon) if lexicon else None
         self._lexicon: Optional[dict[str, str]] = None
@@ -186,9 +193,15 @@ class StructuredEmbedder(HashEmbedder):
         return p
 
     def image_center(self, noun: str) -> np.ndarray:
-        """Prototype rotated by gap_deg toward the global gap direction — the
-        noiseless image embedding of the class."""
-        return _rotate_toward(self.prototype(noun), self._gap_dir,
+        """Prototype rotated by gap_deg toward the class's gap direction
+        (gap_mix-weighted blend of the global direction and a per-class one) —
+        the noiseless image embedding of the class."""
+        direction = self._gap_dir
+        if self.gap_mix < 1.0:
+            per_class = _unit(_seeded_rng("gapdir", self.seed, noun)
+                              .standard_normal(self.embed_dim))
+            direction = _unit(self.gap_mix * direction + (1.0 - self.gap_mix) * per_class)
+        return _rotate_toward(self.prototype(noun), direction,
                               np.deg2rad(self.gap_deg))
 
     def _jitter(self, base: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -242,10 +255,11 @@ class StructuredEmbedder(HashEmbedder):
 
 
 def parse_structured_spec(spec: str, name: str) -> dict:
-    """'<dim>[:gap[:jitter[:seed]]]' -> StructuredEmbedder kwargs."""
+    """'<dim>[:gap[:jitter[:seed[:gap_mix]]]]' -> StructuredEmbedder kwargs."""
     parts = name.split(":")
-    if not 1 <= len(parts) <= 4:
-        raise ValueError(f"Bad test-structured spec (dim[:gap[:jitter[:seed]]]): {spec}")
+    if not 1 <= len(parts) <= 5:
+        raise ValueError(
+            f"Bad test-structured spec (dim[:gap[:jitter[:seed[:gap_mix]]]]): {spec}")
     kwargs = {"embed_dim": int(parts[0])}
     if len(parts) > 1:
         kwargs["gap_deg"] = float(parts[1])
@@ -253,6 +267,8 @@ def parse_structured_spec(spec: str, name: str) -> dict:
         kwargs["jitter_deg"] = float(parts[2])
     if len(parts) > 3:
         kwargs["seed"] = int(parts[3])
+    if len(parts) > 4:
+        kwargs["gap_mix"] = float(parts[4])
     return kwargs
 
 
