@@ -515,6 +515,10 @@ def main():
         },
     }
 
+    if profile_dir:
+        jax.profiler.stop_trace()  # trace covers only the production config
+        profile_dir = ""
+
     if SECONDARY and not SMALL:
         # Like-for-like with the rounds 1-3 headline: G=12, random decoder
         # weights, unguided beam (continuity of the BENCH_r*.json series)

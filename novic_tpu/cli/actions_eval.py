@@ -784,7 +784,7 @@ def action_infer(cfg):
         for g in budget_gencfgs(cfg, gencfgs, len(all_embeds), len(guide_strs)):
             task = GenerationTask(gencfg=g, decoder=decoder,
                                   vocab_targets_set=set(vocab_strs),
-                                  vocab_targets=vocab_ids if g.vocab_prior else vocab_ids,
+                                  vocab_targets=vocab_ids,
                                   guide_targets_set=set(guide_strs),
                                   guide_targets=guide_ids if (g.guided or g.method == "all") else None)
             preds, scores, result = [], [], []

@@ -264,7 +264,12 @@ def _arch_from_local_openclip(spec: str) -> "EmbedderArch | None":
     else:
         tokenizer = "clip_bpe"
     act_kwargs = t.get("act_kwargs") or {}
-    t_act = "gelu_tanh" if act_kwargs.get("approximate") == "tanh" else "gelu"
+    if act_kwargs.get("approximate") == "tanh":
+        t_act = "gelu_tanh"
+    elif model.get("quick_gelu", False):
+        t_act = "quick_gelu"  # model-level quick_gelu applies to BOTH towers
+    else:
+        t_act = "gelu"
     text = TextTowerConfig(
         context_length=t.get("context_length", 77),
         vocab_size=t.get("vocab_size", 49408),

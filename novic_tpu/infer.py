@@ -695,6 +695,17 @@ class NOVICModel:
         task.batch_pad = self.batch_size  # one compile per gencfg, ragged tails padded
         if getattr(self, "_mesh", None) is not None:
             task.mesh = self._mesh
+        # Bounded cache: the demo server exposes gencfg per request, and the
+        # valid-name space is unbounded (float temperatures/alphas) — evict
+        # oldest non-default entries so a client cycling configs cannot grow
+        # compiled tasks without bound
+        while len(self._task_cache) >= 8:
+            for name in self._task_cache:
+                if name != self.gencfg.name:
+                    del self._task_cache[name]
+                    break
+            else:
+                break
         self._task_cache[gencfg.name] = task
         return task
 

@@ -327,9 +327,15 @@ def train(
 
     if accum_buf:
         # Stopping mid-meta-batch: the reference likewise discards partially
-        # accumulated meta-batches at stop/resume (ref train.py:1431,1279)
-        log.info(f"Discarding {len(accum_buf)} loader batches of a partial "
-                 f"accumulation group at stop")
+        # accumulated meta-batches at stop/resume (ref train.py:1431,1279).
+        # Roll the counters back so the final state's batch/sample ids
+        # describe exactly the samples that reached the optimizer.
+        n_disc = len(accum_buf)
+        disc_samples = sum(b[0].shape[0] for b in accum_buf)
+        log.info(f"Discarding {n_disc} loader batches ({disc_samples} samples) of a "
+                 f"partial accumulation group at stop")
+        S.batch_id -= n_disc
+        S.sample_id -= disc_samples
         accum_buf.clear()
     if pending is not None:
         consume(pending)
