@@ -433,3 +433,25 @@ def test_demo_server(trained_checkpoint, tmp_path):
         finally:
             server.shutdown()
             thread.join(timeout=10)
+
+
+def test_task_cache_per_request_gencfg_and_eviction(trained_checkpoint):
+    """classify_embeds(gencfg=...) uses a cached task without mutating the
+    model's default; the per-name cache is bounded (demo-server clients
+    control the gencfg string, whose valid space is unbounded)."""
+    ckpt_path, _, base = trained_checkpoint
+    model = NOVICModel(ckpt_path, gencfg="greedy_k1_vnone_gn_t1_a0", batch_size=8)
+    with model:
+        default_task = model.task
+        out = model.classify_embeds(base[:2], gencfg="beam_k2_vnone_gn_t1_a0")
+        assert len(out.preds) == 2 and len(out.preds[0]) == 2
+        assert model.task is default_task
+        assert model.gencfg.name == "greedy_k1_vnone_gn_t1_a0"
+        # Cached: same object on repeat lookup
+        assert (model.task_for("beam_k2_vnone_gn_t1_a0")
+                is model.task_for("beam_k2_vnone_gn_t1_a0"))
+        # Bounded growth under a stream of distinct names; default retained
+        for k in range(3, 20):
+            model.task_for(f"beam_k{k}_vnone_gn_t1_a0")
+        assert len(model._task_cache) <= 8
+        assert model._task_cache["greedy_k1_vnone_gn_t1_a0"] is default_task
