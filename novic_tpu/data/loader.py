@@ -24,15 +24,21 @@ class BatchLoader:
     Each epoch: optionally draws a new circular offset (training mode), then
     yields dataset[0..len).  With device_put, batches are moved to the device
     (sharded if a sharding is given) as part of prefetch so the consumer
-    overlaps transfer with compute.
+    overlaps transfer with compute; `put_workers` transfers run CONCURRENTLY
+    (ordering preserved via futures) — measured 2× effective bandwidth on a
+    relayed host→device path (BENCH_NOTES round 4: the axon tunnel serves
+    13.9 MB/s serially but 27.8 MB/s at 4 concurrent puts; a local PCIe host
+    is fast either way and unaffected).
     """
 
     def __init__(self, dataset, prefetch: int = 2, device_put: bool = False,
-                 sharding: Any = None, seed: Optional[int] = None):
+                 sharding: Any = None, seed: Optional[int] = None,
+                 put_workers: int = 4):
         self.dataset = dataset
         self.prefetch = max(prefetch, 1)
         self.device_put = device_put
         self.sharding = sharding
+        self.put_workers = max(put_workers, 1)
         self.rng = _random.Random(seed)
 
     def __len__(self) -> int:
@@ -57,15 +63,28 @@ class BatchLoader:
         if hasattr(self.dataset, "new_epoch"):
             self.dataset.new_epoch(self.rng)
         n = len(self.dataset)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        workers = self.put_workers if self.device_put else 1
+        # In-flight bound covers both prefetched host batches and concurrent
+        # transfers; futures keep delivery order deterministic
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, workers))
         stop = threading.Event()
+        pool = None
+        if workers > 1:
+            import concurrent.futures as _cf
+
+            pool = _cf.ThreadPoolExecutor(max_workers=workers,
+                                          thread_name_prefix="novic-put")
 
         def producer():
             try:
                 for i in range(n):
                     if stop.is_set():
                         return
-                    q.put((False, self._put(self.dataset[i])))
+                    batch = self.dataset[i]
+                    if pool is not None:
+                        q.put((False, pool.submit(self._put, batch)))
+                    else:
+                        q.put((False, self._put(batch)))
                 q.put((True, None))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put((None, e))
@@ -79,7 +98,7 @@ class BatchLoader:
                     raise item
                 if done:
                     return
-                yield item
+                yield item.result() if pool is not None else item
         finally:
             stop.set()
             # Drain so the producer can exit
@@ -88,3 +107,5 @@ class BatchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
