@@ -348,3 +348,61 @@ def test_grad_accum_loader_reiterable(tt, tmp_path):
         for _epoch in range(3):
             batches = list(epoch_loader)
             assert len(batches) == 3, "epoch loader must re-iterate every epoch"
+
+
+class _ListBatchDataset:
+    """Minimal batch-item dataset for BatchLoader unit tests."""
+
+    def __init__(self, n, fail_at=None):
+        self.n = n
+        self.fail_at = fail_at
+        self.epochs = 0
+
+    def new_epoch(self, rng=None):
+        self.epochs += 1
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise RuntimeError(f"injected failure at {i}")
+        return (np.full((4, 8), i, np.float32), None, None, None)
+
+
+def test_batch_loader_concurrent_put_ordering():
+    """With put_workers > 1 the device_put transfers run concurrently but
+    batches are delivered strictly in dataset order (futures preserve it)."""
+    from novic_tpu.data.loader import BatchLoader
+
+    ds = _ListBatchDataset(12)
+    loader = BatchLoader(ds, prefetch=3, device_put=True, put_workers=4)
+    for epoch in range(2):
+        got = [float(np.asarray(b[0])[0, 0]) for b in loader]
+        assert got == [float(i) for i in range(12)]
+    assert ds.epochs == 2
+
+
+def test_batch_loader_error_propagates_with_pool():
+    from novic_tpu.data.loader import BatchLoader
+
+    loader = BatchLoader(_ListBatchDataset(8, fail_at=5), prefetch=2,
+                         device_put=True, put_workers=4)
+    seen = []
+    with pytest.raises(RuntimeError, match="injected failure"):
+        for b in loader:
+            seen.append(float(np.asarray(b[0])[0, 0]))
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_batch_loader_early_break_shuts_down_pool():
+    from novic_tpu.data.loader import BatchLoader
+
+    ds = _ListBatchDataset(64)
+    loader = BatchLoader(ds, prefetch=2, device_put=True, put_workers=4)
+    for k, b in enumerate(loader):
+        if k == 3:
+            break
+    # A fresh iteration restarts cleanly after the early break
+    got = [float(np.asarray(b[0])[0, 0]) for b in loader]
+    assert got == [float(i) for i in range(64)]
