@@ -49,7 +49,7 @@ def action_train(cfg):
     dc = gen_data_config(cfg, dataset)
     loader, info = dataset.create_loader(batch_size=cfg.batch_size, training=True, seed=cfg.seed,
                                          prefetch=cfg.loader_prefetch,
-                                         num_threads=int(cfg.get("dataset_workers", 4) or 1))
+                                         num_threads=int(cfg.get("dataset_workers", 4)))
     grad_accum = GradAccum(loader, info, accum_size=cfg.accum_factor, drop_last=True)
 
     # Chunk math (ref train.py:990): chunk = num_valid_targets * chunk_scale samples

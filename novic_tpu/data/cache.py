@@ -793,7 +793,7 @@ class CacheDataset(EmbeddingDataset):
         if batch_size != self.batch_size or training != self.training:
             raise ValueError("Batch size and training mode must match the dataset constructor")
         loader = BatchLoader(self, prefetch=prefetch, device_put=device_put, seed=seed,
-                             put_workers=max(num_threads, 1))
+                             put_workers=num_threads)
         info = LoaderInfo(num_workers=num_threads, prefetch_factor=prefetch, pin_memory=False,
                           on_device=device_put, **self.loader_info_data)
         return loader, info

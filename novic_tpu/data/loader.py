@@ -18,6 +18,68 @@ from typing import Any, Iterator, Optional
 import numpy as np
 
 
+class _PutJob:
+    """A pending transfer: daemon-thread future (plain Event + result slot).
+
+    Deliberately NOT concurrent.futures: its worker threads are non-daemon
+    and joined at interpreter exit, so one transfer stuck inside a flaky
+    relayed host→device path would make the process unkillable except by
+    SIGKILL. Daemon threads keep the exit semantics of the single-threaded
+    producer this replaces.
+    """
+
+    __slots__ = ("fn", "arg", "done", "result", "exc")
+
+    def __init__(self, fn, arg):
+        self.fn = fn
+        self.arg = arg
+        self.done = threading.Event()
+        self.result = None
+        self.exc = None
+
+    def run(self):
+        try:
+            self.result = self.fn(self.arg)
+        except BaseException as e:  # delivered to the consumer in order
+            self.exc = e
+        finally:
+            self.done.set()
+
+    def get(self):
+        self.done.wait()
+        if self.exc is not None:
+            raise self.exc
+        return self.result
+
+
+class _DaemonPool:
+    """Minimal ordered work pool on daemon threads (see _PutJob)."""
+
+    def __init__(self, workers: int, name: str = "novic-put"):
+        self.jobs: queue.Queue = queue.Queue()
+        self.threads = [threading.Thread(target=self._worker, daemon=True,
+                                         name=f"{name}-{i}")
+                        for i in range(workers)]
+        for t in self.threads:
+            t.start()
+
+    def _worker(self):
+        while True:
+            job = self.jobs.get()
+            if job is None:
+                return
+            job.run()
+
+    def submit(self, fn, arg) -> _PutJob:
+        job = _PutJob(fn, arg)
+        self.jobs.put(job)
+        return job
+
+    def shutdown(self):
+        for _ in self.threads:
+            self.jobs.put(None)
+
+
 class BatchLoader:
     """Iterates a batch-item dataset with background prefetching.
 
@@ -25,10 +87,12 @@ class BatchLoader:
     yields dataset[0..len).  With device_put, batches are moved to the device
     (sharded if a sharding is given) as part of prefetch so the consumer
     overlaps transfer with compute; `put_workers` transfers run CONCURRENTLY
-    (ordering preserved via futures) — measured 2× effective bandwidth on a
-    relayed host→device path (BENCH_NOTES round 4: the axon tunnel serves
-    13.9 MB/s serially but 27.8 MB/s at 4 concurrent puts; a local PCIe host
-    is fast either way and unaffected).
+    (ordering preserved: jobs are queued and resolved in dataset order) —
+    measured 2× effective bandwidth on a relayed host→device path
+    (BENCH_NOTES round 4: the axon tunnel serves 13.9 MB/s serially but
+    27.8 MB/s at 4 concurrent puts; a local PCIe host is fast either way and
+    unaffected). The in-flight bound is max(prefetch, put_workers) batches —
+    put_workers concurrent transfers need that many batches outstanding.
     """
 
     def __init__(self, dataset, prefetch: int = 2, device_put: bool = False,
@@ -65,15 +129,10 @@ class BatchLoader:
         n = len(self.dataset)
         workers = self.put_workers if self.device_put else 1
         # In-flight bound covers both prefetched host batches and concurrent
-        # transfers; futures keep delivery order deterministic
+        # transfers; delivery order is dataset order either way
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, workers))
         stop = threading.Event()
-        pool = None
-        if workers > 1:
-            import concurrent.futures as _cf
-
-            pool = _cf.ThreadPoolExecutor(max_workers=workers,
-                                          thread_name_prefix="novic-put")
+        pool = _DaemonPool(workers) if workers > 1 else None
 
         def producer():
             try:
@@ -81,6 +140,8 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     batch = self.dataset[i]
+                    if stop.is_set():
+                        return
                     if pool is not None:
                         q.put((False, pool.submit(self._put, batch)))
                     else:
@@ -88,6 +149,9 @@ class BatchLoader:
                 q.put((True, None))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put((None, e))
+            finally:
+                if pool is not None:
+                    pool.shutdown()
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -98,7 +162,7 @@ class BatchLoader:
                     raise item
                 if done:
                     return
-                yield item.result() if pool is not None else item
+                yield item.get() if pool is not None else item
         finally:
             stop.set()
             # Drain so the producer can exit
@@ -107,5 +171,3 @@ class BatchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            if pool is not None:
-                pool.shutdown(wait=False, cancel_futures=True)
