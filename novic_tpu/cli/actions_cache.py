@@ -58,7 +58,7 @@ def action_cache_noun_dataset(cfg):
         # Entering loaded() is the whole job: it builds (or re-reads) the noun
         # cache file and runs its consistency check; nothing to iterate.
         pass
-    log.info("Finished ensuring noun dataset is cached")
+    log.info("Noun dataset cache is now up to date")
 
 
 def action_convert_noun_dataset(cfg):

@@ -529,7 +529,7 @@ def load_generation_configs(cfg, **default_kwargs) -> list[GenerationConfig]:
                             vocab_scaler = float(match.group(2))
                         except (AttributeError, ValueError):
                             raise ValueError(
-                                f"Failed to parse generation configuration prior: {prior}")
+                                f"Could not parse gencfg prior spec {prior!r}")
                     for guide in cfg.gencfg_guide:
                         if guide not in ("none", "plain", "renorm"):
                             raise ValueError(
@@ -1052,7 +1052,7 @@ def action_format_preds(cfg):
                           *(f"Top-{k+1}%" for k in range(kmax))), rows,
                          sort_spec=cfg.get("format_sort", ""))
     elif mode == "model_max_v1":
-        log.info("Maximum top-1 prediction scores per-model across decoding strategies:")
+        log.info("Best top-1 prediction score per model (max over decoding strategies):")
         rows = []
         for label, _, _ in loaded:
             best = max(((grid[g][label][0][0], grid[g][label][1][0], g)
@@ -1109,7 +1109,7 @@ def parse_duration_str(duration: str, now) -> Optional[str]:
     m = re.fullmatch(r"(\d+y)?(\d+w)?(\d+d)?(\d+h)?(\d+m)?(\d+s)?", duration,
                      flags=re.IGNORECASE)
     if not m or not any(m.groups()):
-        raise ValueError(f"Invalid duration specification: {duration}")
+        raise ValueError(f"Bad duration spec {duration!r}")
     years, weeks, days, hours, minutes, seconds = m.groups()
     ago = datetime.timedelta(
         days=(365 * int(years[:-1]) if years else 0)
@@ -1191,7 +1191,7 @@ def action_format_wandb(cfg):
     try:
         wanted = _FMT_TYPE_ACTIONS[fmt_type]
     except KeyError:
-        raise ValueError(f"Unsupported wandb format type: {cfg.fmt_type}") from None
+        raise ValueError(f"Wandb format type not recognised: {cfg.fmt_type}") from None
     fmt_models = set((cfg.get("fmt_models", "") or "").split())
 
     rows = []

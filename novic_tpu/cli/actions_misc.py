@@ -114,7 +114,7 @@ def action_sample_images(cfg):
     timestamped subdirectory of sample_output_dir (ref train.py:3512-3576)."""
     src = resolve_path(cfg, cfg.sample_input_dir)
     if not src:
-        raise ValueError("Need to specify an input image directory using sample_input_dir")
+        raise ValueError("Set sample_input_dir to the directory of input images")
     out_parent = resolve_path(cfg, cfg.sample_output_dir)
     if not out_parent:
         raise ValueError("Need to specify an output image directory using sample_output_dir")

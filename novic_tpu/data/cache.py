@@ -192,7 +192,7 @@ class EmbeddingCacheWriter:
         if not self.use_targets:
             self.target_nouns: tuple[str, ...] = ()
         elif target_nouns is None:
-            raise ValueError("Target nouns must be provided if use_targets=True")
+            raise ValueError("use_targets=True requires target nouns to be supplied")
         else:
             self.target_nouns = ("",) + tuple(target_nouns)
 
@@ -200,7 +200,7 @@ class EmbeddingCacheWriter:
         self.target_noun_map = {noun: i for i, noun in enumerate(self.target_nouns)}
         expected = self.num_target_nouns - 1 if "" in self.target_nouns[1:] else self.num_target_nouns
         if len(self.target_noun_map) != expected:
-            raise ValueError("There are duplicate non-empty target nouns")
+            raise ValueError("Duplicate non-empty target nouns found")
         self.target_nouns_bytes = "\x00".join(self.target_nouns).encode("utf-8")
         self.embed_targets_dtype = np.dtype(np.int32)
         self.embed_dtype = np.dtype(embed_dtype)
@@ -254,7 +254,7 @@ class EmbeddingCacheWriter:
         """Target noun strings → zero-padded BxM noun-ID array
         (ref embedding_cache.py:248-264)."""
         if not self.use_targets:
-            raise ValueError("Cannot tensorize embedding target noun IDs if not using targets")
+            raise ValueError("Tensorizing target noun IDs requires use_targets=True")
         out = np.zeros((len(embed_targets_str), self.header.embed_targets_dim),
                        dtype=self.embed_targets_dtype)
         for i, targets in enumerate(embed_targets_str):
@@ -266,7 +266,7 @@ class EmbeddingCacheWriter:
         return out
 
     def __enter__(self) -> "EmbeddingCacheWriter":
-        log.info(f"Writing {self.meta.total_size / (1 << 30):.3f}GiB embedding cache: {self.cache_path}")
+        log.info(f"Writing embedding cache {self.cache_path} ({self.meta.total_size / (1 << 30):.3f}GiB)")
         self.embed_written = 0
         self.bytes_written = 0
         rng = np.random.default_rng(self.seed)
@@ -336,7 +336,7 @@ class EmbeddingCacheWriter:
                 f"{self.header.embed_num}")
         norms = np.linalg.norm(embeds.astype(np.float32), axis=1)
         if np.any(np.abs(norms - 1) > 4 * self.meta.embed_eps):
-            raise ValueError("Embeddings must always be unit vectors")
+            raise ValueError("Embeddings violate the unit vectors invariant")
 
         indices = (self.shuffle_perm[embed_index:self.embed_written] if self.shuffle else None)
         self._scatter_write(embeds, self.meta.embed_offset, self.meta.embed_stride,
@@ -356,7 +356,7 @@ class EmbeddingCacheWriter:
             nonzero = embed_targets.astype(bool)
             if embed_targets.shape[1] > 1 and not np.array_equal(
                     np.minimum.accumulate(nonzero, axis=1), nonzero):
-                raise ValueError("All non-zero target noun IDs must come before any trailing zeros")
+                raise ValueError("Non-zero target noun IDs may not appear after a zero entry")
             self._scatter_write(embed_targets, self.meta.embed_targets_offset,
                                 self.meta.embed_targets_stride, embed_index, indices)
             if embed_target_weights is None and not self.full_targets:
@@ -368,16 +368,16 @@ class EmbeddingCacheWriter:
                 raise ValueError(f"Unexpected embedding target noun weights shape: {w.shape}")
             wf = w.astype(np.float32)
             if np.any(wf < 0):
-                raise ValueError("Embedding target noun weights must be non-negative")
+                raise ValueError("Target noun weights may not be negative")
             if wf[:, 0].min() <= 0:
-                raise ValueError("First target weight must always be non-zero")
+                raise ValueError("Leading target weight cannot be zero")
             if w.shape[1] > 1 and np.any(wf[:, 1:] - wf[:, :-1] > 4 * self.meta.embed_eps):
-                raise ValueError("Embedding target noun weights must be in descending order")
+                raise ValueError("Target noun weights must be sorted high-to-low")
             wnz = wf.astype(bool)
             if np.logical_and(embed_targets == 0, wnz).any():
-                raise ValueError("Zero target noun IDs must have zero weight")
+                raise ValueError("A zero target noun ID cannot carry a non-zero weight")
             if w.shape[1] > 1 and not np.array_equal(np.minimum.accumulate(wnz, axis=1), wnz):
-                raise ValueError("All non-zero target noun weights must come before any trailing zeros")
+                raise ValueError("Non-zero target noun weights may not appear after a zero entry")
             if self.unit_weights and np.any(np.abs(wf.sum(axis=1) - 1) > 4 * self.meta.embed_eps):
                 raise ValueError("Target noun weights are expected to sum to 1 for each embedding")
             self._scatter_write(w, self.meta.embed_target_weights_offset,
@@ -428,18 +428,18 @@ class EmbeddingCacheWriter:
             if fd is not None:
                 os.close(fd)
             if valid:
-                log.info(f"Finished writing {self.meta.total_size / (1 << 30):.3f}GiB embedding cache")
+                log.info(f"Embedding cache complete ({self.meta.total_size / (1 << 30):.3f}GiB)")
             else:
                 self.remove()
                 if exc_type is None:
-                    raise RuntimeError("Failed to write embedding cache")
+                    raise RuntimeError("Embedding cache write failed")
                 # Otherwise let the original exception propagate (file removed)
         return False
 
     def remove(self):
         try:
             os.remove(self.cache_path)
-            log.warning(f"Removed cache file: {self.cache_path}")
+            log.warning(f"Deleted cache file {self.cache_path}")
         except FileNotFoundError:
             pass
 
@@ -468,7 +468,7 @@ class EmbeddingCache:
         self.cache_path = os.path.abspath(cache_path)
         self.use_targets = use_targets
         self.strict_embedder = strict_embedder
-        log.info(f"Using embedding cache: {self.cache_path}")
+        log.info(f"Reading embedding cache {self.cache_path}")
 
         with open(self.cache_path, "rb") as file:
             self.cache_stat = os.fstat(file.fileno())
@@ -610,9 +610,9 @@ class EmbeddingCache:
         """Slice read → (embed BxF, target_ids BxM, target BxMxC, mask BxMxC, weight BxM)
         (ref embedding_cache.py:699-723)."""
         if self._mmap is None:
-            raise RuntimeError("Cache must be entered before data can be accessed")
+            raise RuntimeError("Enter the cache context before accessing its data")
         if start < 0 or stop < 0:
-            raise IndexError("Negative indices are not supported")
+            raise IndexError("Index must be non-negative")
         stop = min(stop, self.header.embed_num)
         embed = self._embed_view[start:stop]
         if self.use_targets:

@@ -207,11 +207,11 @@ class NounMultisetCacheWriter(EmbeddingCacheWriter):
             itertools.dropwhile(lambda x: x == 0, reversed(tuple(multi_target_freq))))))
 
         if dataset.hypernym_prompts or dataset.total_freq_hypernyms != 1:
-            raise ValueError("Noun multiset does not support hypernyms")
+            raise ValueError("Hypernyms are not supported by the noun multiset")
         if dataset.use_cache:
-            raise ValueError("Noun dataset should be configured not to use an internal cache")
+            raise ValueError("Configure the noun dataset without an internal cache here")
         if not dataset.use_targets:
-            raise ValueError("Noun dataset needs targets in order to generate noun multiset")
+            raise ValueError("Generating a noun multiset requires the noun dataset to use targets")
         if not self.multi_target_freq or any(f < 0 for f in self.multi_target_freq) \
                 or sum(self.multi_target_freq) <= 0:
             raise ValueError(f"Invalid multi-target frequencies: {multi_target_freq}")
@@ -299,7 +299,7 @@ class NounMultisetCacheWriter(EmbeddingCacheWriter):
                     assert verify_counter == dataset_counter, \
                         "m=1 multiset stream does not match the plain noun dataset"
             assert total_embed == self.num_embed
-        log.info("Finished caching noun multiset")
+        log.info("Noun multiset cache complete")
 
 
 class CaptionsCacheWriter(EmbeddingCacheWriter):
@@ -329,13 +329,13 @@ class CaptionsCacheWriter(EmbeddingCacheWriter):
         for cv in captions_json:
             target = cv["target_noun"]
             if target in captions_vocab_map or target in unused:
-                raise ValueError(f"Captions JSON has duplicate target noun: {target}")
+                raise ValueError(f"Duplicate target noun in captions JSON: {target}")
             sing = tuple(c if c.endswith(".") else c + "." for c in cv["singular_captions"])
             plur = tuple(c if c.endswith(".") else c + "." for c in cv["plural_captions"])
             if not all("{singular}" in c for c in sing):
-                raise ValueError(f"All singular captions must contain {{singular}}: {target}")
+                raise ValueError(f"Singular caption template missing {{singular}} placeholder: {target}")
             if not all("{plural}" in c for c in plur):
-                raise ValueError(f"All plural captions must contain {{plural}}: {target}")
+                raise ValueError(f"Plural caption template missing {{plural}} placeholder: {target}")
             if len(set(sing)) != len(sing) or len(set(plur)) != len(plur):
                 raise ValueError(f"Duplicate captions for target noun: {target}")
             cv = dict(cv, singular_captions=sing, plural_captions=plur)
@@ -403,7 +403,7 @@ class CaptionsCacheWriter(EmbeddingCacheWriter):
                 flush()
             flush(final=True)
             assert total == self.num_embed
-        log.info("Finished converting captions JSON to an embedding cache")
+        log.info("Captions JSON conversion to embedding cache complete")
 
 
 class ClassificationCacheWriter(EmbeddingCacheWriter):
@@ -451,7 +451,7 @@ class ImageCacheWriter(EmbeddingCacheWriter):
                         if fnmatch.fnmatch(fn.lower(), pattern))
             else:
                 self.image_paths.append(image)
-        log.info(f"Found a total of {len(self.image_paths)} images")
+        log.info(f"Discovered {len(self.image_paths)} images")
         super().__init__(cache_path, num_embed=len(self.image_paths),
                          embed_dim=embedder.embed_dim, shuffle=True, use_targets=False,
                          embedder_hash=embedder.get_configuration_hash(True, False), seed=seed)
@@ -478,7 +478,7 @@ class MergeCachesWriter(EmbeddingCacheWriter):
         self.embedder = embedder
         self.caches = list(caches)
         if not self.caches:
-            raise ValueError("Need at least one cache to merge")
+            raise ValueError("Merging requires one or more input caches")
         first = self.caches[0]
         self.merge_batch_size = batch_size
         self.freqs = tuple(freqs) if freqs is not None else tuple(1 for _ in self.caches)
@@ -492,7 +492,7 @@ class MergeCachesWriter(EmbeddingCacheWriter):
 
         if use_targets:
             if any(c.target_nouns != first.target_nouns for c in self.caches):
-                raise ValueError("Inconsistent target nouns across caches to merge")
+                raise ValueError("Caches to merge disagree on target nouns")
             target_nouns = first.target_nouns[1:]
             try:
                 multi_mode = int(multi_mode)
@@ -505,7 +505,7 @@ class MergeCachesWriter(EmbeddingCacheWriter):
             elif isinstance(multi_mode, int):
                 M = multi_mode
             else:
-                raise ValueError(f"Unknown multi-mode for merging: {multi_mode}")
+                raise ValueError(f"Merge multi-mode not recognised: {multi_mode}")
             full_targets = all(c.header.full_targets and M <= c.header.embed_targets_dim
                                for c in self.caches)
             unit_weights = all(c.header.unit_weights and M >= c.header.embed_targets_dim
@@ -555,4 +555,4 @@ class MergeCachesWriter(EmbeddingCacheWriter):
                         else:
                             for _ in range(freq):
                                 self.write(embeds)
-        log.info("Finished shuffle-merging embedding caches")
+        log.info("Shuffle-merge of embedding caches complete")

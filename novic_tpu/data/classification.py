@@ -282,7 +282,7 @@ def load_image_dataset(name: str, root_path: str, split: str = "valid",
     class_names = load_class_name_variant(name, variant, clean, data_dir) if variant else None
     if class_names is None:
         if any(c[1:].isdigit() for c in classes):
-            raise ValueError(f"Failed to resolve {name} class names (wnid folders need a "
+            raise ValueError(f"Could not resolve class names for {name} (wnid folders need a "
                              f"cls_class_names_{variant or '<variant>'}.json)")
         class_names = [c.replace("_", " ") for c in classes]
 

@@ -37,7 +37,7 @@ class DataConfig:
             d.update(multi_first=False, full_targets=True, fixed_multi_length=True, multi_length=1)
         data_config = DataConfig(**d)
         if data_config.multi_length < 1:
-            raise ValueError(f"Number of multi-targets needs to be positive: {data_config.multi_length}")
+            raise ValueError(f"Multi-target count must be positive, got {data_config.multi_length}")
         return data_config
 
     def as_dict(self) -> dict:
@@ -74,7 +74,7 @@ def resolve_data_config(
         kwarg_value = data_kwargs.pop(field_name, None)
         d[field_name] = kwarg_value if kwarg_value is not None else nominal_value
     if data_kwargs:
-        raise ValueError(f"Cannot resolve invalid data config fields: {sorted(data_kwargs.keys())}")
+        raise ValueError(f"Unrecognised data config fields: {sorted(data_kwargs.keys())}")
 
     remaining = set(strict_fields)
     for field_name in strict_fields:

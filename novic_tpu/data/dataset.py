@@ -50,12 +50,12 @@ class EmbeddingDataset:
 
         self.use_targets = use_targets
         if self.num_items < 1 or self.num_embeds < 1 or self.num_items > self.num_embeds:
-            raise ValueError("Empty or invalid embedding dataset")
+            raise ValueError("Embedding dataset is empty or malformed")
         if self.have_targets and (self.num_valid_targets > len(self.targets) or self.num_valid_targets < 1):
             raise ValueError(f"Number of valid targets must be positive: {self.num_valid_targets}")
         if self.use_targets:
             if not self.have_targets:
-                raise ValueError("Cannot use targets if dataset has none")
+                raise ValueError("Dataset carries no targets to use")
             counts = collections.Counter(self.targets)
             dups = sorted(item for item in counts.items() if item[1] > (1 if item[0] else 2))
             if dups:
@@ -81,10 +81,10 @@ class EmbeddingDataset:
                         f"{getattr(own, field)} vs Translation {getattr(target_config, field)} "
                         f"(returned data will respect the former)")
             if target_config.compact_ids != own.compact_ids:
-                raise ValueError("Translation cannot change whether target tokenizations are compact")
+                raise ValueError("A translation must preserve tokenization compactness")
             if (target_config.start_token_id is None) != (own.start_token_id is None) or \
                (target_config.end_token_id is None) != (own.end_token_id is None):
-                raise ValueError("Translation cannot change whether start and/or end tokens are present")
+                raise ValueError("A translation must preserve start/end token presence")
             target_config = target_config.replace(
                 fixed_token_length=own.fixed_token_length, token_length=own.token_length,
                 use_masks=own.use_masks)

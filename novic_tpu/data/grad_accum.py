@@ -24,7 +24,7 @@ class GradAccum:
         self.drop_last = drop_last
 
         if self.accum_size < 1:
-            raise ValueError(f"Accumulation size must be at least 1: {self.accum_size}")
+            raise ValueError(f"Accumulation size below 1: {self.accum_size}")
         assert loader_info.epoch_batches == len(loader)
 
         self.batch_size = loader_info.batch_size

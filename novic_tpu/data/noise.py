@@ -114,7 +114,7 @@ class EmbeddingNoise:
         canon = scheme.lower()
         if canon not in ("gausselem", "gaussvec", "gaussangle", "uniformangle",
                          "gausselemuniformangle"):
-            raise ValueError(f"Unsupported embedding noise type: {scheme}")
+            raise ValueError(f"Embedding noise scheme not recognised: {scheme}")
         return EmbeddingNoise(scheme=canon, vec_norm=vec_norm, angle_min=angle_min,
                               angle_max=angle_max, angle_std=angle_std, mix_ratio=mix_ratio)
 

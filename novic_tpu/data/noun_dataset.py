@@ -118,24 +118,24 @@ class NounDataset(EmbeddingDataset):
         for vocab in self.vocab_json:
             vocab_id = vocab["id"]
             if not isinstance(vocab_id, int) or vocab_id < 0:
-                raise ValueError(f"Vocab JSON has invalid vocab ID: {vocab_id}")
+                raise ValueError(f"Bad vocab ID in vocab JSON: {vocab_id}")
             if vocab_id in self.vocab_by_id:
-                raise ValueError(f"Vocab JSON has duplicate vocab ID: {vocab_id}")
+                raise ValueError(f"Duplicate vocab ID in vocab JSON: {vocab_id}")
             self.vocab_by_id[vocab_id] = vocab
             if not vocab["target_noun"]:
-                raise ValueError(f"Vocab ID {vocab_id} has empty target noun")
+                raise ValueError(f"Empty target noun at vocab ID {vocab_id}")
             singulars, plurals = vocab["singulars"], vocab["plurals"]
             sfreq, pfreq = vocab["singulars_freq"], vocab["plurals_freq"]
             if len(singulars) != len(sfreq) or len(plurals) != len(pfreq):
                 raise ValueError(f"Vocab ID {vocab_id} has non-matching noun/freq counts")
             if len(singulars) + len(plurals) < 1:
-                raise ValueError(f"Vocab ID {vocab_id} has neither singulars nor plurals")
+                raise ValueError(f"Vocab ID {vocab_id} lists no singular or plural forms")
             if any(not isinstance(f, int) or f < 1 for f in itertools.chain(sfreq, pfreq)):
                 raise ValueError(f"Vocab ID {vocab_id} has invalid frequencies")
             for noun in itertools.chain((vocab["target_noun"], vocab.get("pretty_noun", "x")),
                                         singulars, plurals):
                 if noun != " ".join(noun.split()):
-                    raise ValueError(f"Vocab ID {vocab_id} has a badly whitespaced noun")
+                    raise ValueError(f"Noun for vocab ID {vocab_id} has stray whitespace")
             vocab["singulars_freq_sum"] = sum(sfreq)
             vocab["plurals_freq_sum"] = sum(pfreq)
             vocab["singulars_id"] = tuple(i for i, f in enumerate(sfreq) for _ in range(f))
@@ -175,7 +175,7 @@ class NounDataset(EmbeddingDataset):
         for collection in self.prompt_collection:
             for freq, template in prompts_json[collection]:
                 if not isinstance(freq, int) or freq < 0:
-                    raise ValueError(f"Prompt frequency must be a positive integer: {freq}")
+                    raise ValueError(f"Prompt frequency must be an integer >= 1, got {freq}")
                 if freq >= 1:
                     prompt_freq_map[template] = prompt_freq_map.get(template, 0) + freq
 
@@ -225,11 +225,11 @@ class NounDataset(EmbeddingDataset):
         for collection in self.hypernym_collection:
             for freq, template in hypernyms_json[collection]:
                 if not isinstance(freq, int) or freq < 0:
-                    raise ValueError(f"Hypernym frequency must be a positive integer: {freq}")
+                    raise ValueError(f"Hypernym frequency must be an integer >= 1, got {freq}")
                 if freq >= 1:
                     hypernym_freq_map[template] = hypernym_freq_map.get(template, 0) + freq
         if None not in hypernym_freq_map:
-            raise ValueError("One of the hypernym templates must be null/None")
+            raise ValueError("Exactly one hypernym template entry should be null/None")
         no_hypernym_freq = hypernym_freq_map.pop(None)
         num_templates = len(hypernym_freq_map)
         # Distribute each template's freq round-robin over a noun's hypernyms
@@ -473,7 +473,7 @@ class NounDataset(EmbeddingDataset):
 
     def loaded(self):
         if self.translation is not None and self.translation != self.target_config:
-            raise RuntimeError("Noun dataset does not support target configuration translation")
+            raise RuntimeError("Target configuration translation is not available for the noun dataset")
         if self.use_cache:
             return self.cached()
         return self.embedder.inference_model()

@@ -151,12 +151,12 @@ class Embedder:
 
     def tokenize_target(self, text, max_tokens=None):
         if not self.target_tokenizer:
-            raise ValueError("Must provide target configuration before tokenizing a target noun")
+            raise ValueError("Tokenizing a target noun requires a target configuration to be set")
         return self.target_tokenizer.tokenize_target(text, max_tokens=max_tokens)
 
     def detokenize_target(self, token_ids):
         if not self.target_tokenizer:
-            raise ValueError("Must provide target configuration before detokenizing a target noun")
+            raise ValueError("Detokenizing a target noun requires a target configuration to be set")
         return self.target_tokenizer.detokenize_target(token_ids)
 
     def get_tokenize_details(self, text, max_tokens=None, token_id_set=False):

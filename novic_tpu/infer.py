@@ -77,50 +77,51 @@ class GenerationConfig:
 
     @staticmethod
     def from_name(name: str) -> "GenerationConfig":
-        parts = name.split("_")
-        method = parts[0]
-        topk = 0
-        vocab_prior = vocab_per_token = guided = guide_renorm = False
-        vocab_scaler, tau, alpha = 0.0, 1.0, 0.0
-        for part in itertools.islice(parts, 1, None):
-            if not part:
-                raise ValueError(f"Unexpected multiple underscores in generation configuration: {name}")
-            prefix, value = part[:1], part[1:]
+        # Grammar (ref infer.py:357-433 defines the same compact codec):
+        #   METHOD ( "_" FIELD )*  with FIELD one of
+        #   kINT | v(none|tokF|tgtF) | g(n|p|r) | tFLOAT | aFLOAT
+        method, _, tail = name.partition("_")
+        fields: dict[str, Any] = {"k": 0, "t": 1.0, "a": 0.0,
+                                  "vp": False, "vtok": False, "vs": 0.0,
+                                  "g": False, "gr": False}
+        for field in tail.split("_") if tail else ():
+            if not field:
+                raise ValueError(f"Empty field (doubled '_'?) in gencfg name {name!r}")
+            key, spec = field[0], field[1:]
             try:
-                if prefix == "k":
-                    topk = int(value)
-                elif prefix == "v":
-                    if value != "none":
-                        vocab_prior = True
-                        match = re.fullmatch(r"(tok|tgt)(.*)", value)
-                        try:
-                            vocab_per_token = match.group(1) == "tok"
-                            vocab_scaler = float(match.group(2))
-                        except (AttributeError, ValueError):
-                            raise ValueError(f"Invalid vocab prior specification: {value}")
-                elif prefix == "g":
-                    if value not in ("n", "p", "r"):
-                        raise ValueError(f"Invalid guide specification: {value}")
-                    guided = value != "n"
-                    guide_renorm = value == "r"
-                elif prefix == "t":
-                    tau = float(value)
-                elif prefix == "a":
-                    alpha = float(value)
+                if key == "k":
+                    fields["k"] = int(spec)
+                elif key == "v":
+                    if spec != "none":
+                        match = re.fullmatch(r"(tok|tgt)(.*)", spec)
+                        if match is None:
+                            raise ValueError(f"Vocab prior must be none/tokF/tgtF, got {spec!r}")
+                        fields["vp"] = True
+                        fields["vtok"] = match.group(1) == "tok"
+                        fields["vs"] = float(match.group(2))
+                elif key == "g":
+                    if spec not in ("n", "p", "r"):
+                        raise ValueError(f"Guide mode must be one of n/p/r, got {spec!r}")
+                    fields["g"] = spec != "n"
+                    fields["gr"] = spec == "r"
+                elif key == "t":
+                    fields["t"] = float(spec)
+                elif key == "a":
+                    fields["a"] = float(spec)
                 else:
-                    raise ValueError(f"Invalid prefix: {prefix}")
+                    raise ValueError(f"Unknown field key {key!r}")
             except ValueError:
-                raise ValueError(f"Failed to parse generation configuration part: {part}")
-        gencfg = GenerationConfig(method=method, topk=topk, vocab_prior=vocab_prior,
-                                  vocab_per_token=vocab_per_token, vocab_scaler=vocab_scaler,
-                                  guided=guided, guide_renorm=guide_renorm, temperature=tau,
-                                  length_alpha=alpha)
+                raise ValueError(f"Bad gencfg field {field!r} in name {name!r}")
+        gencfg = GenerationConfig(method=method, topk=fields["k"], vocab_prior=fields["vp"],
+                                  vocab_per_token=fields["vtok"], vocab_scaler=fields["vs"],
+                                  guided=fields["g"], guide_renorm=fields["gr"],
+                                  temperature=fields["t"], length_alpha=fields["a"])
         if gencfg.method not in ("greedy", "beam", "all"):
-            raise ValueError(f"Invalid generation configuration method: {gencfg.method}")
+            raise ValueError(f"Gencfg method must be greedy/beam/all, got {gencfg.method!r}")
         if gencfg.topk < 1:
-            raise ValueError(f"Missing or invalid non-positive top-k: {gencfg.topk}")
+            raise ValueError(f"Gencfg needs a top-k of at least 1, got {gencfg.topk}")
         if gencfg.temperature <= 0:
-            raise ValueError(f"Invalid non-positive temperature tau: {gencfg.temperature}")
+            raise ValueError(f"Gencfg temperature must be positive, got {gencfg.temperature}")
         assert gencfg.name == name
         return gencfg
 
@@ -212,12 +213,12 @@ class GenerationTask:
         if self.gencfg.vocab_prior and self.vocab_targets is None:
             raise ValueError("Generation config specifies vocab priors but no vocab targets given")
         if self.gencfg.guided and self.guide_targets is None:
-            raise ValueError("Generation config is guided but no guide targets were provided")
+            raise ValueError("Guided gencfg requires guide targets")
         if self.gencfg.method == "greedy":
             if self.gencfg.topk != 1:
-                raise ValueError(f"Top-k must be 1 for greedy generation: {self.gencfg.topk}")
+                raise ValueError(f"Greedy generation requires top-k == 1, got {self.gencfg.topk}")
             if self.gencfg.vocab_prior:
-                raise ValueError("Greedy generation does not support vocab priors")
+                raise ValueError("Vocab priors are not available for greedy generation")
         elif self.gencfg.method == "all":
             if not self.gencfg.guided:
                 raise ValueError("The 'all' generation method must always be guided")

@@ -202,7 +202,7 @@ class EmbeddingVectorMLP(nn.Module):
         else:
             raise ValueError(f"Unsupported hidden layer argument: {hl}")
         if cfg.embed_dim <= 0 or output_size <= 0 or (hidden is not None and hidden <= 0):
-            raise ValueError("Embedding vector MLP sizes cannot be non-positive")  # ref :1210
+            raise ValueError("Embedding vector MLP has a non-positive layer size")  # ref :1210
         return output_size, hidden
 
     @nn.compact

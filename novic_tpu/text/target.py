@@ -164,7 +164,7 @@ def create_target_config(
         compact_map[tokenizer.end_token_id] = 0
         if tokenizer.start_token_id is not None and with_start_token:
             compact_map[tokenizer.start_token_id] = 1
-        log.info(f"Compacting target tokenizations down to a vocab size of {vocab_size} tokens")
+        log.info(f"Compact tokenization uses a reduced vocab of {vocab_size} tokens")
     else:
         vocab_size = tokenizer.vocab_size
         start_token_id = tokenizer.start_token_id if with_start_token else None
@@ -313,10 +313,10 @@ def translate_target_tokens(token_ids: np.ndarray, source: TargetConfig, dest: T
     """Retarget token IDs from one TargetConfig's compact space to another's
     via unmap→map composition (ref embedding_dataset.py:105-120, embedding_cache.py:668-683)."""
     if source.compact_ids != dest.compact_ids:
-        raise ValueError("Translation cannot change whether target tokenizations are compact")
+        raise ValueError("A translation must preserve tokenization compactness")
     if (source.start_token_id is None) != (dest.start_token_id is None) or \
        (source.end_token_id is None) != (dest.end_token_id is None):
-        raise ValueError("Translation cannot change whether start and/or end tokens are present")
+        raise ValueError("A translation must preserve start/end token presence")
     if not source.compact_ids:
         return token_ids
     raw = source.compact_unmap[token_ids]

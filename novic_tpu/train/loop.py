@@ -236,12 +236,12 @@ def train(
 
     while not stop_training:
         log.info("-" * 60)
-        log.info(f"Epoch {S.epoch_id} = Batch {S.batch_id} = Sample {S.sample_id}")
+        log.info(f"Epoch {S.epoch_id} | Batch {S.batch_id} | Sample {S.sample_id}")
 
         for batch in loader:
             chunk_batch_id = (S.batch_id - 1) % C.chunk_batches
             if chunk_batch_id == 0:
-                log.info(f"Chunk {S.chunk_id} = Batch {S.batch_id} = Sample {S.sample_id}")
+                log.info(f"Chunk {S.chunk_id} | Batch {S.batch_id} | Sample {S.sample_id}")
                 chunk_start = time.perf_counter()
 
             lr = dispatch_accum.lr = schedule(S.chunk_id)

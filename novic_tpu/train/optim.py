@@ -34,7 +34,7 @@ def lr_schedule_per_chunk(init_lr: float, final_lr: float, lr_scheduler: str,
     resets lr and :1142-1146 skips restoring the warmup/cosine schedulers)."""
     scheduler = lr_scheduler.lower()
     if scheduler not in ("const", "cosine"):
-        raise ValueError(f"Unsupported learning rate scheduler: {lr_scheduler}")
+        raise ValueError(f"LR scheduler not recognised: {lr_scheduler}")
     # Cosine horizon (ref train.py:1156): +1 chunk when final_lr == 0 so the last
     # trained chunk doesn't hit exactly 0
     t_max = max((max_chunks if final_lr > 0 else max_chunks + 1) - start_chunk, 1)

@@ -149,7 +149,7 @@ def get_canon(noun: str, sanitize: bool) -> str:
     canon = canon.replace("'", "").replace(".", "")
     canon = " ".join(part for part in re.split(r"[\s/-]+", canon) if part)
     if set(canon) - ALLOWED_CHARS_CANON:
-        log.warning(f"Invalid canon chars: {canon}")
+        log.warning(f"Canonicalization produced bad chars: {canon}")
     return canon
 
 
