@@ -207,6 +207,11 @@ class GenerationTask:
 
     _jit_cache: dict = dataclasses.field(default_factory=dict)
     _trie_cache: dict = dataclasses.field(default_factory=dict)
+    # Optional on-disk store for the 'all'-mode precompute artifact (36 s of
+    # host work at FT0 scale otherwise repaid per process start); see
+    # models/precompute_store.py. Default taken from $NOVIC_PRECOMPUTE_DIR.
+    precompute_dir: Optional[str] = dataclasses.field(
+        default_factory=lambda: os.environ.get("NOVIC_PRECOMPUTE_DIR") or None)
 
     def __post_init__(self):
         self.topk_counts = np.zeros((self.gencfg.topk, 4), dtype=np.int64)
@@ -253,7 +258,26 @@ class GenerationTask:
         if precompute_cache is not None and key in precompute_cache:
             self.precompute = precompute_cache[key]
             return
+        store_key = None
+        if self.precompute_dir:
+            from novic_tpu.models.precompute_store import (
+                load_precompute, precompute_cache_key, save_precompute)
+
+            store_key = precompute_cache_key(
+                self.decoder.cfg.vocab_size, length_alpha=kwargs["length_alpha"],
+                vocab_per_token=kwargs["vocab_per_token"],
+                vocab_scaler=kwargs["vocab_scaler"],
+                guide_renorm=kwargs["guide_renorm"],
+                guide_targets=kwargs["guide_targets"],
+                vocab_targets=kwargs["vocab_targets"])
+            self.precompute = load_precompute(self.precompute_dir, store_key)
+            if self.precompute is not None:
+                if precompute_cache is not None:
+                    precompute_cache[key] = self.precompute
+                return
         self.precompute = precompute_generate_all(self.decoder.cfg.vocab_size, **kwargs)
+        if store_key is not None:
+            save_precompute(self.precompute_dir, store_key, self.precompute)
         if precompute_cache is not None:
             precompute_cache[key] = self.precompute
 
@@ -556,10 +580,12 @@ class NOVICModel:
     def __init__(self, checkpoint: str, *, embedder_spec: Optional[str] = None,
                  gencfg: Union[str, GenerationConfig] = "beam_k10_vnone_gn_t1_a0",
                  guide_targets: Optional[Sequence[str]] = None,
-                 batch_size: int = 64, embedder_kwargs: Optional[dict] = None):
+                 batch_size: int = 64, embedder_kwargs: Optional[dict] = None,
+                 precompute_dir: Optional[str] = None):
         self.checkpoint = checkpoint
         self.gencfg = GenerationConfig.from_name(gencfg) if isinstance(gencfg, str) else gencfg
         self.batch_size = batch_size
+        self.precompute_dir = precompute_dir  # None => task env-var default
         self._guide_target_strs = list(guide_targets) if guide_targets is not None else None
 
         # Read cfg_flat without loading tensors to discover the embedder spec
@@ -694,6 +720,8 @@ class NOVICModel:
             guide_targets_set=set(guide_strs),
             guide_targets=guide_ids if (gencfg.guided or gencfg.method == "all") else None)
         task.batch_pad = self.batch_size  # one compile per gencfg, ragged tails padded
+        if self.precompute_dir:
+            task.precompute_dir = self.precompute_dir
         if getattr(self, "_mesh", None) is not None:
             task.mesh = self._mesh
         # Bounded cache: the demo server exposes gencfg per request, and the

@@ -167,6 +167,45 @@ def test_generation_task_trie_path_matches_mask(trained_checkpoint, monkeypatch)
                                rtol=1e-4, atol=1e-4)
 
 
+def test_precompute_dir_serves_from_disk(trained_checkpoint, tmp_path, monkeypatch):
+    """With precompute_dir set, the first 'all' decode persists its precompute
+    and a fresh model serves it from disk — recomputation is forbidden via a
+    monkeypatched trap — with identical outputs."""
+    import os
+
+    import novic_tpu.infer as infer_mod
+
+    ckpt_path, _, base = trained_checkpoint
+    store = str(tmp_path / "prestore")
+    gencfg = "all_k3_vtgt0.5_gr_t1_a0.5"
+    model = NOVICModel(ckpt_path, gencfg=gencfg, batch_size=8, precompute_dir=store)
+    with model:
+        out1 = model.classify_embeds(base)
+    files = os.listdir(store)
+    assert len(files) == 1 and files[0].startswith("all_precompute_")
+
+    def _trap(*args, **kwargs):
+        raise AssertionError("precompute recomputed despite a store hit")
+
+    monkeypatch.setattr(infer_mod, "precompute_generate_all", _trap)
+    model2 = NOVICModel(ckpt_path, gencfg=gencfg, batch_size=8, precompute_dir=store)
+    with model2:
+        out2 = model2.classify_embeds(base)
+    assert out1.preds == out2.preds
+    np.testing.assert_allclose(np.asarray(out1.logprobs), np.asarray(out2.logprobs),
+                               rtol=1e-6, atol=1e-6)
+
+    # A corrupted store entry falls back to recomputation (trap removed)
+    monkeypatch.undo()
+    path = os.path.join(store, files[0])
+    with open(path, "r+b") as f:
+        f.truncate(64)
+    model3 = NOVICModel(ckpt_path, gencfg=gencfg, batch_size=8, precompute_dir=store)
+    with model3:
+        out3 = model3.classify_embeds(base)
+    assert out1.preds == out3.preds
+
+
 def test_guide_targets_longer_than_token_length_raise(trained_checkpoint):
     """Guides that tokenize longer than the model's token length raise the
     reference's loud ValueError (ref infer.py:698-699), not a broadcast crash."""
