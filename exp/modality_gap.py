@@ -63,8 +63,12 @@ def run(a) -> dict:
         write_structured_cls_dataset(cls_root, nouns, a.images_per_class, seed=a.seed + 1)
 
     spec = f"test-structured:{a.dim}:{a.gap}:{a.jitter}:{a.seed}"
-    if a.gap_mix != 1.0:
+    if a.gap_mix != 1.0 or a.gap_spread or a.crowd:
         spec += f":{a.gap_mix}"
+        if a.gap_spread or a.crowd:
+            spec += f":{a.gap_spread}"
+            if a.crowd:
+                spec += f":{a.crowd}"
     common = [f"embedder={spec}", f"vocab_path={vocab_path}", "prompt_path=",
               "prompt_collection=Basic", "hypernym_collection=None",
               f"seed={a.seed}", f"output_dir={a.workdir}/outputs"]
@@ -87,16 +91,34 @@ def run(a) -> dict:
     gap = json.load(open(gap_path))
     zero_shot_top1 = float(zs["Food101"])
 
+    shift_args = ["mean_shift=true", f"mean_shift_path={gap_path}"]
     arm_specs = {
         "none": [],
         "noise": RELEASED_NOISE,
-        "noise_shift": RELEASED_NOISE + ["mean_shift=true", f"mean_shift_path={gap_path}"],
-        "shift": ["mean_shift=true", f"mean_shift_path={gap_path}"],
+        "noise_shift": RELEASED_NOISE + shift_args,
+        "shift": shift_args,
     }
+
+    def resolve_arm(arm: str) -> list:
+        """Named arm, or a parameterized noise arm for hyperparameter sweeps:
+        'noise[/shift]:<vec_norm>:<angle_min>:<angle_max>' (released values
+        are 3.25:45:75, ref README:322)."""
+        if arm in arm_specs:
+            return arm_specs[arm]
+        head, *params = arm.split(":")
+        if head in ("noise", "noise_shift") and len(params) == 3:
+            vec, amin, amax = params
+            return (["noise_scheme=GaussElemUniformAngle", f"noise_vec_norm={vec}",
+                     f"noise_angle_min={amin}", f"noise_angle_max={amax}",
+                     "noise_mix_ratio=0.15"]
+                    + (shift_args if head == "noise_shift" else []))
+        raise SystemExit(f"Unknown arm: {arm}")
+
     results: dict[str, dict] = {}
     for arm in a.arms.split(","):
         arm = arm.strip()
-        out_dir = os.path.join(a.workdir, f"outputs_{arm}")
+        arm_args = resolve_arm(arm)
+        out_dir = os.path.join(a.workdir, f"outputs_{arm.replace(':', '_')}")
         shutil.rmtree(out_dir, ignore_errors=True)
         args = [x if not x.startswith("output_dir=") else f"output_dir={out_dir}"
                 for x in common]
@@ -104,7 +126,7 @@ def run(a) -> dict:
         cli(["action=train", f"embedding_dataset={cache}",
              f"chunk_scale={a.chunk_scale}", f"max_chunks={a.max_chunks}",
              f"init_lr={a.init_lr}", "save_every_max=1000000", "save_top1_min=200"]
-            + arm_specs[arm] + model_args + args)
+            + arm_args + model_args + args)
         ckpts = sorted(glob.glob(f"{out_dir}/ovod_*/*.npz"))
         assert ckpts, f"No checkpoint saved for arm {arm}"
         train_s = time.perf_counter() - t0
@@ -144,6 +166,10 @@ def main(argv=None) -> int:
     p.add_argument("--jitter", type=float, default=10.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gap-mix", type=float, default=1.0)
+    p.add_argument("--gap-spread", type=float, default=0.0,
+                   help="per-class gap magnitude spread in degrees")
+    p.add_argument("--crowd", type=float, default=0.0,
+                   help="prototype crowding in [0,1): expected pairwise cosine ~= crowd^2")
     p.add_argument("--freq", type=int, default=40)
     p.add_argument("--images-per-class", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)

@@ -142,6 +142,7 @@ def action_train(cfg):
         chunk_batches=chunk_batches, chunk_samples=chunk_batches * cfg.batch_size,
         epoch_batches=epoch_batches, max_chunks=max_chunks, batch_size=cfg.batch_size,
         accum_size=cfg.accum_factor, gradient_clip=cfg.gradient_clip,
+        steps_per_dispatch=int(cfg.get("steps_per_dispatch", 1) or 1),
         loss_ewa_halflife=cfg.loss_ewa_halflife, save_every_min=cfg.save_every_min,
         save_every_max=cfg.save_every_max, save_top1_min=cfg.save_top1_min / 100.0,
         save_top1_delta=cfg.save_top1_delta / 100.0, **lr_params,

@@ -135,6 +135,7 @@ class StructuredEmbedder(HashEmbedder):
 
     def __init__(self, *, spec: str, embed_dim: int, gap_deg: float = 60.0,
                  jitter_deg: float = 10.0, seed: int = 0, gap_mix: float = 1.0,
+                 gap_spread_deg: float = 0.0, crowd: float = 0.0,
                  lexicon: Optional[dict[str, str]] = None,
                  tokenizer_batch_size: int = 1024, inference_batch_size: int = 256,
                  image_batch_size: int = 128, check: bool = False, tokenizer=None):
@@ -144,7 +145,8 @@ class StructuredEmbedder(HashEmbedder):
                          image_batch_size=image_batch_size, check=check,
                          tokenizer=tokenizer)
         self.configuration.update(gap_deg=gap_deg, jitter_deg=jitter_deg, seed=seed,
-                                  gap_mix=gap_mix)
+                                  gap_mix=gap_mix, gap_spread_deg=gap_spread_deg,
+                                  crowd=crowd)
         self.gap_deg = float(gap_deg)
         self.jitter_deg = float(jitter_deg)
         # gap_mix: weight of the GLOBAL gap direction vs a per-class one.
@@ -153,7 +155,20 @@ class StructuredEmbedder(HashEmbedder):
         # translation cannot undo — the real-CLIP regime where the paper's
         # arm ordering (noise+shift >= noise > shift > none) emerges.
         self.gap_mix = float(gap_mix)
+        # Difficulty knobs (VERDICT r4 #3 — take the testbed off its ceiling):
+        # gap_spread_deg: per-class gap MAGNITUDE becomes
+        # gap_deg + U(-spread, +spread) (seeded per class) — a radial
+        # class-dependence on top of gap_mix's directional one.
+        # crowd in [0, 1): prototype crowding — prototypes are drawn as
+        # unit(sqrt(1-c^2) * gauss + c * center), giving expected pairwise
+        # cosine ~= c^2 instead of ~90-degrees-apart (c=0, the easy regime).
+        self.gap_spread_deg = float(gap_spread_deg)
+        self.crowd = float(crowd)
+        if not 0.0 <= self.crowd < 1.0:
+            raise ValueError(f"crowd must be in [0, 1): {crowd}")
         self.seed = int(seed)
+        self._proto_center = _unit(_seeded_rng("protocenter", self.seed)
+                                   .standard_normal(embed_dim))
         self._explicit_lexicon = dict(lexicon) if lexicon else None
         self._lexicon: Optional[dict[str, str]] = None
         self._lexicon_vocab: Optional[tuple[str, ...]] = None
@@ -188,21 +203,32 @@ class StructuredEmbedder(HashEmbedder):
     def prototype(self, noun: str) -> np.ndarray:
         p = self._protos.get(noun)
         if p is None:
-            p = _unit(_seeded_rng("proto", self.seed, noun).standard_normal(self.embed_dim))
+            g = _seeded_rng("proto", self.seed, noun).standard_normal(self.embed_dim)
+            if self.crowd > 0.0:
+                c = self.crowd
+                g = np.sqrt(1.0 - c * c) * _unit(g) + c * self._proto_center
+            p = _unit(g)
             self._protos[noun] = p
         return p
 
+    def class_gap_deg(self, noun: str) -> float:
+        """Per-class gap magnitude: gap_deg +- U(gap_spread_deg)."""
+        if self.gap_spread_deg == 0.0:
+            return self.gap_deg
+        u = float(_seeded_rng("gapmag", self.seed, noun).uniform(-1.0, 1.0))
+        return max(self.gap_deg + self.gap_spread_deg * u, 0.0)
+
     def image_center(self, noun: str) -> np.ndarray:
-        """Prototype rotated by gap_deg toward the class's gap direction
-        (gap_mix-weighted blend of the global direction and a per-class one) —
-        the noiseless image embedding of the class."""
+        """Prototype rotated by the class's gap magnitude toward the class's
+        gap direction (gap_mix-weighted blend of the global direction and a
+        per-class one) — the noiseless image embedding of the class."""
         direction = self._gap_dir
         if self.gap_mix < 1.0:
             per_class = _unit(_seeded_rng("gapdir", self.seed, noun)
                               .standard_normal(self.embed_dim))
             direction = _unit(self.gap_mix * direction + (1.0 - self.gap_mix) * per_class)
         return _rotate_toward(self.prototype(noun), direction,
-                              np.deg2rad(self.gap_deg))
+                              np.deg2rad(self.class_gap_deg(noun)))
 
     def _jitter(self, base: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         angle = np.deg2rad(self.jitter_deg) * float(rng.uniform())
@@ -255,20 +281,19 @@ class StructuredEmbedder(HashEmbedder):
 
 
 def parse_structured_spec(spec: str, name: str) -> dict:
-    """'<dim>[:gap[:jitter[:seed[:gap_mix]]]]' -> StructuredEmbedder kwargs."""
+    """'<dim>[:gap[:jitter[:seed[:gap_mix[:gap_spread[:crowd]]]]]]' ->
+    StructuredEmbedder kwargs."""
     parts = name.split(":")
-    if not 1 <= len(parts) <= 5:
+    if not 1 <= len(parts) <= 7:
         raise ValueError(
-            f"Bad test-structured spec (dim[:gap[:jitter[:seed[:gap_mix]]]]): {spec}")
+            f"Bad test-structured spec "
+            f"(dim[:gap[:jitter[:seed[:gap_mix[:gap_spread[:crowd]]]]]]): {spec}")
     kwargs = {"embed_dim": int(parts[0])}
-    if len(parts) > 1:
-        kwargs["gap_deg"] = float(parts[1])
-    if len(parts) > 2:
-        kwargs["jitter_deg"] = float(parts[2])
-    if len(parts) > 3:
-        kwargs["seed"] = int(parts[3])
-    if len(parts) > 4:
-        kwargs["gap_mix"] = float(parts[4])
+    for i, (key, conv) in enumerate(
+            (("gap_deg", float), ("jitter_deg", float), ("seed", int),
+             ("gap_mix", float), ("gap_spread_deg", float), ("crowd", float)), start=1):
+        if len(parts) > i:
+            kwargs[key] = conv(parts[i])
     return kwargs
 
 

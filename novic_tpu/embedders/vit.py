@@ -71,6 +71,12 @@ class VisionTowerConfig:
     # tower shapes in exp/tower_attn_vpu.py) | qkh (head-minor scores via
     # einsum, MXU contraction without the bhqk layout transposes).
     attn_impl: str = "einsum"
+    # Quantized serving mode for the block matmuls (q/k/v/o + MLP):
+    # "" (off) | "int8" (W8A8 via lax.dot_general) | "int8:pallas" (tiled
+    # Mosaic kernel, novic_tpu/ops/int8_matmul.py). Per-output-channel weight
+    # scales + dynamic per-row activation scales, int32 MXU accumulate.
+    # Patch embed, attention einsums and the final projection stay unquantized.
+    quant: str = ""
 
     @property
     def grid(self) -> int:
@@ -105,6 +111,7 @@ class TextTowerConfig:
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = False  # fused VMEM attention kernel (novic_tpu.ops.attention)
     fuse_qkv: bool = False         # see VisionTowerConfig.fuse_qkv — measured slower
+    quant: str = ""                # see VisionTowerConfig.quant
 
     @property
     def mlp_dim(self) -> int:
@@ -117,8 +124,21 @@ def _precision_for(compute_dtype) -> str | None:
     return "highest" if jnp.dtype(compute_dtype) == jnp.float32 else None
 
 
-def tower_dense(x, w, b, compute_dtype):
-    """x @ w.T + b with torch-layout w; inputs cast to compute dtype, f32 accum."""
+def tower_dense(x, w, b, compute_dtype, quant: str = ""):
+    """x @ w.T + b with torch-layout w; inputs cast to compute dtype, f32 accum.
+
+    quant="int8"/"int8:pallas": W8A8 quantized path (ops/int8_matmul.py) —
+    weights are quantized per-output-channel on the fly (one extra elementwise
+    pass over w, negligible next to the activation matmul at serving batch
+    sizes), activations per-row dynamically."""
+    if quant:
+        kind, _, impl = quant.partition(":")
+        if kind != "int8":
+            raise ValueError(f"Unknown tower quant mode: {quant}")
+        from novic_tpu.ops.int8_matmul import int8_dense, quantize_weight
+
+        wq, sw = quantize_weight(w)
+        return int8_dense(x, wq, sw, b, impl=impl or "xla")
     dt = jnp.dtype(compute_dtype)
     y = jax.lax.dot_general(x.astype(dt), w.astype(dt), (((x.ndim - 1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
@@ -147,6 +167,7 @@ class TowerAttention(nn.Module):
     use_pallas: bool = False
     fuse_qkv: bool = False
     attn_impl: str = "einsum"
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None,
@@ -173,12 +194,12 @@ class TowerAttention(nn.Module):
             # the concat is a cheap device-side reshuffle of 3*E*E weights.
             wqkv = jnp.concatenate([wq, wk, wv], axis=0)
             bqkv = jnp.concatenate([bq, bk, bv], axis=0)
-            qkv = tower_dense(x, wqkv, bqkv, dt).reshape(B, Sq, 3, H, hd)
+            qkv = tower_dense(x, wqkv, bqkv, dt, self.quant).reshape(B, Sq, 3, H, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         else:
-            q = tower_dense(x, wq, bq, dt).reshape(B, Sq, H, hd)
-            k = tower_dense(src, wk, bk, dt).reshape(B, Sk, H, hd)
-            v = tower_dense(src, wv, bv, dt).reshape(B, Sk, H, hd)
+            q = tower_dense(x, wq, bq, dt, self.quant).reshape(B, Sq, H, hd)
+            k = tower_dense(src, wk, bk, dt, self.quant).reshape(B, Sk, H, hd)
+            v = tower_dense(src, wv, bv, dt, self.quant).reshape(B, Sk, H, hd)
         if self.use_pallas and kv is None:
             # Fused VMEM attention kernel (self-attention only; the MAP head's
             # 1-query cross-attention stays on the XLA path)
@@ -189,7 +210,7 @@ class TowerAttention(nn.Module):
                 sq_bias = jnp.broadcast_to(attn_bias, (Sq, Sk)).astype(jnp.float32)
             out = fused_attention(q.astype(jnp.float32), k.astype(jnp.float32),
                                   v.astype(jnp.float32), sq_bias)
-            return tower_dense(out.reshape(B, Sq, E), wo, bo, dt)
+            return tower_dense(out.reshape(B, Sq, E), wo, bo, dt, self.quant)
         scale = 1.0 / math.sqrt(hd)
         # Score tensor + softmax chain stay in the compute dtype: at B=256
         # ViT-B/16 the (B,H,S,S) scores are the tower's largest intermediate
@@ -208,7 +229,8 @@ class TowerAttention(nn.Module):
                 scores = scores + attn_bias.astype(dtj)[..., None]
             attn = jax.nn.softmax(scores, axis=2)
             out = (attn[..., None] * v.astype(dtj)[:, None]).sum(axis=2)
-            return tower_dense(out.reshape(B, Sq, E).astype(jnp.float32), wo, bo, dt)
+            return tower_dense(out.reshape(B, Sq, E).astype(jnp.float32), wo, bo, dt,
+                               self.quant)
         if self.attn_impl == "qkh":
             # Head-minor scores via MXU einsum: same contraction, no bhqk
             # transposes of q/k/v
@@ -221,7 +243,7 @@ class TowerAttention(nn.Module):
             out = jnp.einsum("bqkh,bkhd->bqhd", attn, v.astype(dtj),
                              preferred_element_type=jnp.float32,
                              precision=_precision_for(dt))
-            return tower_dense(out.reshape(B, Sq, E), wo, bo, dt)
+            return tower_dense(out.reshape(B, Sq, E), wo, bo, dt, self.quant)
         scores = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(dtj),
                             k.astype(dtj), preferred_element_type=dtj,
                             precision=_precision_for(dt))
@@ -231,7 +253,7 @@ class TowerAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn,
                          v.astype(dtj), preferred_element_type=jnp.float32,
                          precision=_precision_for(dt))
-        return tower_dense(out.reshape(B, Sq, E), wo, bo, dt)
+        return tower_dense(out.reshape(B, Sq, E), wo, bo, dt, self.quant)
 
 
 class TowerBlock(nn.Module):
@@ -246,6 +268,7 @@ class TowerBlock(nn.Module):
     use_pallas: bool = False
     fuse_qkv: bool = False
     attn_impl: str = "einsum"
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -267,12 +290,13 @@ class TowerBlock(nn.Module):
         h = f32_layer_norm(x, n1w, n1b, self.eps, out_dtype=dt)
         attn_out = TowerAttention(width=E, heads=self.heads, compute_dtype=self.compute_dtype,
                                   use_pallas=self.use_pallas, fuse_qkv=self.fuse_qkv,
-                                  attn_impl=self.attn_impl, name="attn")(h, attn_bias)
+                                  attn_impl=self.attn_impl, quant=self.quant,
+                                  name="attn")(h, attn_bias)
         x = x + attn_out.astype(dt)
         h = f32_layer_norm(x, n2w, n2b, self.eps, out_dtype=dt)
-        h = tower_dense(h, w1, b1, self.compute_dtype).astype(dt)
+        h = tower_dense(h, w1, b1, self.compute_dtype, self.quant).astype(dt)
         h = act(h)
-        h = tower_dense(h, w2, b2, self.compute_dtype)
+        h = tower_dense(h, w2, b2, self.compute_dtype, self.quant)
         return x + h.astype(dt)
 
 
@@ -322,7 +346,8 @@ class VisionTransformer(nn.Module):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
                            use_pallas=cfg.use_pallas_attention, fuse_qkv=cfg.fuse_qkv,
-                           attn_impl=cfg.attn_impl, name=f"blocks_{i}")(x)
+                           attn_impl=cfg.attn_impl, quant=cfg.quant,
+                           name=f"blocks_{i}")(x)
 
         postw = self.param("post_ln_weight", nn.initializers.ones, (E,))
         postb = self.param("post_ln_bias", nn.initializers.zeros, (E,))
@@ -403,7 +428,7 @@ class TextTransformer(nn.Module):
             x = TowerBlock(width=E, heads=cfg.heads, mlp_dim=cfg.mlp_dim, act=cfg.act,
                            eps=cfg.layer_norm_eps, compute_dtype=cfg.compute_dtype,
                            use_pallas=cfg.use_pallas_attention, fuse_qkv=cfg.fuse_qkv,
-                           name=f"blocks_{li}")(x, attn_bias)
+                           quant=cfg.quant, name=f"blocks_{li}")(x, attn_bias)
 
         fw = self.param("final_ln_weight", nn.initializers.ones, (E,))
         fb = self.param("final_ln_bias", nn.initializers.zeros, (E,))

@@ -50,6 +50,28 @@ def _cached_jit(key, make):
     return fn
 
 
+def _trie_children(trie: dict, state: jnp.ndarray, Cm: int, vocab_size: int):
+    """Gather a node's children (tok, id) rows — ONE table gather when the
+    packed tok+id table exists (guide_trie.build_guide_trie), else two.
+
+    The per-step guided-decode cost at B=1 is dominated by sequential
+    HLO-launch latency, not arithmetic (BENCH_NOTES "Guided-decode cost
+    bisection"); halving the table gathers is the consolidation that note
+    names. tok_bits is recomputed statically from vocab_size (the identical
+    expression the builder used), so the unpack mask constant-folds."""
+    pk = trie.get("child_pack")
+    if pk is not None:
+        packed = pk[Cm][state]
+        tok, cid = _unpack_children(packed, vocab_size)
+        return tok, cid, packed
+    return trie["child_tok"][Cm][state], trie["child_id"][Cm][state], None
+
+
+def _unpack_children(packed: jnp.ndarray, vocab_size: int):
+    tok_bits = max(int(vocab_size).bit_length(), 1)
+    return packed & ((1 << tok_bits) - 1), packed >> tok_bits
+
+
 def _scatter_allowed(base_shape: tuple, idx: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """-inf everywhere except 0 at positions named by idx (scatter trick,
     ref embedding_decoder.py:809,917). base_shape = (..., V+1); idx values of V
@@ -143,11 +165,10 @@ def generate_greedy(
                 new_state = jnp.where(eq.any(axis=1),
                                       guide_trie["child_id"][0][1][jnp.argmax(eq, axis=1)], 0)
             else:
-                gct = guide_trie["child_tok"][Cm][guide_state]  # (B, M)
+                gct, cid, _ = _trie_children(guide_trie, guide_state, Cm, V)  # (B, M) each
                 guide_score = _scatter_allowed((B, V + 1), gct)[:, :V]
                 token = jnp.argmax(guide_score + logits, axis=1).astype(jnp.int32)
                 eq = gct == token[:, None]
-                cid = guide_trie["child_id"][Cm][guide_state]
                 new_state = jnp.where(eq.any(axis=1),
                                       jnp.take_along_axis(cid, jnp.argmax(eq, axis=1)[:, None],
                                                           axis=1)[:, 0], 0)
@@ -331,14 +352,20 @@ def generate_beam(
         return x[b, cand]
 
     def trie_rows(trie, state, Cm):
-        """Gather a node's children row: (tok, id, cnt, node_cnt), each (B,H,M)/(B,H)."""
-        return (trie["child_tok"][Cm][state], trie["child_id"][Cm][state],
-                trie["child_cnt"][Cm][state], trie["node_cnt"][Cm][state])
+        """Gather a node's children: (tok, id, cnt, node_cnt, packed). tok/id
+        come from ONE packed-table gather when available (_trie_children);
+        cnt/node_cnt gathers are DCE'd by XLA unless vocab priors use them."""
+        ct, cid, packed = _trie_children(trie, state, Cm, V)
+        return (ct, cid, trie["child_cnt"][Cm][state], trie["node_cnt"][Cm][state], packed)
 
-    def trie_advance(ct, cid, cand, tok):
-        """New node after candidate reorder + emitting tok (dead node 0 if no child)."""
-        ct_g = gather_h(ct, cand)
-        cid_g = gather_h(cid, cand)
+    def trie_advance(ct, cid, cand, tok, packed=None):
+        """New node after candidate reorder + emitting tok (dead node 0 if no
+        child). With a packed row the candidate reorder is ONE gather."""
+        if packed is not None:
+            ct_g, cid_g = _unpack_children(gather_h(packed, cand), V)
+        else:
+            ct_g = gather_h(ct, cand)
+            cid_g = gather_h(cid, cand)
         eq = ct_g == tok[:, :, None]
         child = jnp.take_along_axis(cid_g, jnp.argmax(eq, axis=2)[:, :, None], axis=2)[:, :, 0]
         return jnp.where(eq.any(axis=2), child, 0)
@@ -367,7 +394,7 @@ def generate_beam(
 
         guide_score = None
         guide_idx = None
-        g_ct = g_cid = g_cnt = g_ncnt = None
+        g_ct = g_cid = g_cnt = g_ncnt = g_pk = None
         if g_trie is not None:
             if Cm == 0:
                 # Root special case: at step 1 every candidate is at the root
@@ -379,7 +406,7 @@ def generate_beam(
                 slot0 = (jnp.arange(H) == 0)[None, :, None]
                 guide_score = jnp.where(slot0, root_allowed[None, None, :], NEG_INF)
             else:
-                g_ct, g_cid, g_cnt, g_ncnt = trie_rows(g_trie, guide_state, Cm)
+                g_ct, g_cid, g_cnt, g_ncnt, g_pk = trie_rows(g_trie, guide_state, Cm)
                 guide_score = _scatter_allowed((B, H, V + 1), g_ct)[:, :, :V]
             guide_score = jnp.where(col_is_end & finished[:, :, None], 0.0, guide_score)  # ref :918
             if guide_renorm:
@@ -394,7 +421,7 @@ def generate_beam(
 
         scores = jax.nn.log_softmax(logits, axis=2)
 
-        v_ct = v_cid = None
+        v_ct = v_cid = v_pk = None
         if use_vocab:
             # Counts of alive vocab rows per token / total alive rows. Trie:
             # children carry exact row counts (duplicates included), so the
@@ -420,7 +447,7 @@ def generate_beam(
                 if vocab_is_guide and g_trie is not None:
                     cnt_idx, cnt_w, nz_cnt = g_ct, g_cnt, g_ncnt
                 elif v_trie is not None:
-                    v_ct, v_cid, v_cnt, v_ncnt = trie_rows(v_trie, vocab_state, Cm)
+                    v_ct, v_cid, v_cnt, v_ncnt, v_pk = trie_rows(v_trie, vocab_state, Cm)
                     cnt_idx, cnt_w, nz_cnt = v_ct, v_cnt, v_ncnt
                 else:
                     if vocab_is_guide:
@@ -479,14 +506,14 @@ def generate_beam(
 
         if g_trie is not None:
             guide_state = (trie_advance_root(g_trie, guide_state, cand, tok) if Cm == 0
-                           else trie_advance(g_ct, g_cid, cand, tok))
+                           else trie_advance(g_ct, g_cid, cand, tok, packed=g_pk))
         elif have_guide:
             gcol = guide_targets[:, Cm]
             guide_state = gather_h(guide_state, cand) | jnp.not_equal(tok[:, :, None], gcol[None, None, :])
         if vocab_state is not None:
             if v_trie is not None:
                 vocab_state = (trie_advance_root(v_trie, vocab_state, cand, tok) if Cm == 0
-                               else trie_advance(v_ct, v_cid, cand, tok))
+                               else trie_advance(v_ct, v_cid, cand, tok, packed=v_pk))
             else:
                 zcol = vocab_targets[:, Cm]
                 vocab_state = gather_h(vocab_state, cand) | jnp.not_equal(tok[:, :, None], zcol[None, None, :])

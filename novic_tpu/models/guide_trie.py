@@ -25,6 +25,8 @@ the compile request (multi-MB at FT0 scale; see ARCHITECTURE.md on axon).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["build_guide_trie", "trie_num_nodes"]
@@ -99,8 +101,27 @@ def build_guide_trie(guide_targets: np.ndarray, vocab_size: int, depth: int) -> 
         group_id = np.cumsum(new_starts) - 1
         group_sizes = csize.astype(np.int64)
 
+    # Packed tok+id table: the decode hot loop needs BOTH the children tokens
+    # (allowed-token scatter) and the children ids (state advance) every step;
+    # packing them into one int32 halves the sequential per-step table gathers
+    # — the dominant share of the W-independent single-image guided-latency
+    # penalty (BENCH_NOTES "Guided-decode cost bisection"). Layout:
+    # pack = (child_id << tok_bits) | child_tok, with tok_bits sized for the
+    # pad value V; omitted (None) if the two fields cannot share 31 bits.
+    tok_bits = max(int(V).bit_length(), 1)
+    max_id = max((int(t.max()) for t in child_id if t.size), default=0)
+    id_bits = max(max_id.bit_length(), 1)
+    no_pack = os.environ.get("NOVIC_TRIE_NO_PACK", "") not in ("", "0")  # A/B knob
+    if not no_pack and tok_bits + id_bits <= 31:
+        child_pack = [
+            ((i.astype(np.int64) << tok_bits) | t.astype(np.int64)).astype(np.int32)
+            for t, i in zip(child_tok, child_id)]
+    else:
+        child_pack = None
+
     return {"child_tok": child_tok, "child_id": child_id,
-            "child_cnt": child_cnt, "node_cnt": node_cnt}
+            "child_cnt": child_cnt, "node_cnt": node_cnt,
+            "child_pack": child_pack, "pack_tok_bits": np.int32(tok_bits)}
 
 
 def trie_num_nodes(trie: dict) -> int:

@@ -1,0 +1,128 @@
+"""W8A8 int8 quantized dense for tower serving (VERDICT r4 ask #1).
+
+The DFN5B-H agreement-gate backbone is FLOPs-bound at ~92 % of the v5e's
+bf16 peak (BASELINE.md), so int8 MXU (hardware peak ~2x bf16) is the only
+lever that moves its throughput. Scheme: per-output-channel weight scales +
+dynamic per-row activation scales, int8 x int8 -> int32 MXU accumulation,
+f32 dequantize (y = (xq @ wq.T) * sx * sw + b) — symmetric round-to-nearest
+(no zero points; TPU MXU has no asymmetric path).
+
+Two dot implementations:
+* ``xla``  — plain lax.dot_general on int8 (measured ~bf16-parity in r4,
+  exp/int8_matmul_timing.py — XLA does not engage the double-rate path).
+* ``pallas`` — hand-tiled Mosaic matmul with int8 VMEM blocks and an int32
+  VMEM accumulator (exp/pallas_int8_matmul.py measures whether Mosaic
+  reaches the int8 MXU double rate; the serving default tracks that result).
+
+The reference has no quantized serving path (its towers run fp16 autocast,
+ref embedders.py:131-143); this is a TPU-first addition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(O, I) float weight -> (int8 (O, I), f32 per-output-channel scales (O,))."""
+    w = w.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(w), axis=1) / 127.0
+    sw = jnp.maximum(sw, 1e-12)
+    wq = jnp.clip(jnp.round(w / sw[:, None]), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., I) float activations -> (int8, f32 per-row scales (..., 1))."""
+    x = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _int8_mm_kernel(x_ref, w_ref, o_ref, acc_ref, *, n_k):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def int8_matmul_pallas(xq: jnp.ndarray, wq_t: jnp.ndarray, *, bm: int = 512,
+                       bn: int = 512, bk: int = 0, interpret: bool = False) -> jnp.ndarray:
+    """(M, K) int8 @ (K, N) int8 -> (M, N) int32 via a tiled Mosaic kernel.
+
+    Inputs are padded up to tile multiples (int8 min tile 32x128); bk=0 means
+    the full (padded) K per step. interpret=True for CPU-backed tests."""
+    M, K = xq.shape
+    K2, N = wq_t.shape
+    assert K == K2, (xq.shape, wq_t.shape)
+    bm = min(bm, max(32, M))
+    bn = min(bn, max(128, N))
+    xq = _pad_to(_pad_to(xq, bm, 0), 128, 1)
+    wq_t = _pad_to(_pad_to(wq_t, 128, 0), bn, 1)
+    Mp, Kp = xq.shape
+    Np = wq_t.shape[1]
+    bk = Kp if bk == 0 else min(bk, Kp)
+    n_k = Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_int8_mm_kernel, n_k=n_k),
+        grid=(Mp // bm, Np // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(xq, wq_t)
+    return out[:M, :N]
+
+
+def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray, b, *,
+               impl: str = "xla", interpret: bool = False) -> jnp.ndarray:
+    """Quantized x @ w.T + b with pre-quantized torch-layout weights.
+
+    x: (..., I) float; wq: (O, I) int8; sw: (O,) f32; b: (O,) or None.
+    Returns f32, matching tower_dense's f32-accumulate contract."""
+    lead = x.shape[:-1]
+    I = x.shape[-1]
+    O = wq.shape[0]
+    xq, sx = quantize_rows(x.reshape(-1, I))
+    if impl == "pallas":
+        acc = int8_matmul_pallas(xq, wq.T, interpret=interpret)
+    elif impl == "xla":
+        acc = jax.lax.dot_general(xq, wq, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+    else:
+        raise ValueError(f"Unknown int8 dense impl: {impl}")
+    y = acc.astype(jnp.float32) * sx * sw[None, :]
+    if b is not None:
+        y = y + b
+    return y.reshape(lead + (O,))

@@ -46,6 +46,12 @@ class TrainLoopConfig:
     save_every_max: int = 48
     save_top1_min: float = 0.95
     save_top1_delta: float = 0.005
+    # Optimizer steps per host dispatch: >1 drives K accumulated steps as one
+    # device-resident lax.scan (train/step.py steps_per_call), amortizing the
+    # per-step dispatch overhead (measured 1.5x at production shapes,
+    # BENCH_NOTES feed-gap row D). Semantics are pinned equal to per-step
+    # dispatch (tests/test_train.py test_multi_step_dispatch_matches_per_step).
+    steps_per_dispatch: int = 1
     init_lr: float = 1.5e-3
     final_lr: float = 0.0
     lr_scheduler: str = "cosine"
@@ -109,6 +115,29 @@ def _accum_concat(xs: list):
     return xp.concatenate([pad(x) for x in xs], axis=0)
 
 
+def _accum_stack(xs: list):
+    """Stack one field of K meta-batches along a NEW leading axis for a
+    multi-step dispatch (train/step.py steps_per_call). Trailing dims may
+    differ across groups (per-batch trims); padding them back with the
+    format's own padding values is loss-identical — same argument as
+    _accum_concat."""
+    if xs[0] is None:
+        return None
+    import jax.numpy as jnp
+
+    xp = jnp if any(isinstance(x, jax.Array) for x in xs) else np
+    trailing = [max(x.shape[d] for x in xs) for d in range(1, xs[0].ndim)]
+    pad_value = True if xs[0].dtype == bool else 0
+
+    def pad(x):
+        widths = [(0, 0)] + [(0, t - s) for s, t in zip(x.shape[1:], trailing)]
+        if not any(w[1] for w in widths):
+            return x
+        return xp.pad(x, widths, constant_values=pad_value)
+
+    return xp.stack([pad(x) for x in xs], axis=0)
+
+
 def compute_chunk_batches(num_valid_targets: int, chunk_scale: float, batch_size: int) -> int:
     """chunk_batches = ceil(num_valid_targets * chunk_scale / batch_size)
     (ref train.py:990)."""
@@ -149,6 +178,7 @@ def train(
         state = restore_opt_state(state, opt_state_arrays)
 
     in_shardings = None
+    in_shardings_multi = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -158,12 +188,21 @@ def train(
         in_shardings = (replicated,
                         tuple(sharded for _ in range(4)),
                         None, None)
+        # Multi-step dispatch: batches gain a leading K axis; the per-sample
+        # batch axis (now axis 1) stays sharded over 'data'
+        sharded_k = NamedSharding(mesh, P(None, "data"))
+        in_shardings_multi = (replicated,
+                              tuple(sharded_k for _ in range(4)),
+                              None, None)
 
-    def build_step(m):
+    K = max(C.steps_per_dispatch, 1)
+
+    def build_step(m, steps_per_call: int = 1):
         return make_train_step(m, tx, noise=noise, mean_shift=mean_shift,
                                gradient_clip=C.gradient_clip, accum_steps=C.accum_size,
-                               multi_first=multi_first,
-                               in_shardings=in_shardings)
+                               multi_first=multi_first, steps_per_call=steps_per_call,
+                               in_shardings=(in_shardings if steps_per_call <= 1
+                                             else in_shardings_multi))
 
     def rescale_dropout_model(m, factor: float):
         """Rebuild the model with rescaled dropout probabilities
@@ -178,6 +217,7 @@ def train(
         model = rescale_dropout_model(model, C.last_dropout_factor)
         dropout_trigger = None
     step = build_step(model)
+    step_multi = build_step(model, K) if K > 1 else None
 
     schedule = lr_schedule_per_chunk(C.init_lr, C.final_lr, C.lr_scheduler, C.lr_warmup,
                                      C.max_chunks,
@@ -208,23 +248,22 @@ def train(
 
     def consume(pending_metrics):
         m = jax.tree.map(np.asarray, pending_metrics)
-        ewa.update(float(m["loss_sum"]), float(m["loss_basis"]),
-                   float(m["correct"]), float(m["tokens"]))
-        grad_norms.append(float(m["grad_norm"]))
+        if m["loss_sum"].ndim:  # (K,)-stacked metrics from a multi-step dispatch
+            for i in range(m["loss_sum"].shape[0]):
+                ewa.update(float(m["loss_sum"][i]), float(m["loss_basis"][i]),
+                           float(m["correct"][i]), float(m["tokens"][i]))
+                grad_norms.append(float(m["grad_norm"][i]))
+        else:
+            ewa.update(float(m["loss_sum"]), float(m["loss_basis"]),
+                       float(m["correct"]), float(m["tokens"]))
+            grad_norms.append(float(m["grad_norm"]))
 
     accum_buf: list = []  # loader batches awaiting one accumulated optimizer step
+    group_buf: list = []  # complete (batch_tuple, lr, key) groups awaiting multi-dispatch
 
-    def dispatch_accum():
-        """Concatenate the buffered loader batches into one meta-batch and
-        dispatch a single optimizer step (the step microbatches them back via
-        lax.scan — reference GradAccum semantics, effective batch =
-        batch_size * accum_factor, ref embedding_dataset.py:198-273 — but at
-        full loader-batch MXU shapes instead of host-side re-staging)."""
-        nonlocal state, pending, rng
-        rng, k = jax.random.split(rng)
-        batch_tuple = tuple(_accum_concat([b[j] for b in accum_buf]) for j in range(4))
-        accum_buf.clear()
-        state, m = step(state, batch_tuple, dispatch_accum.lr, k)
+    def dispatch_one(batch_tuple, lr_, key):
+        nonlocal state, pending
+        state, m = step(state, batch_tuple, lr_, key)
         # One-step-delayed fetch: the host blocks on step t-1's scalar
         # metrics only AFTER dispatching step t, so the device stream
         # always has a step enqueued and is never drained — the fetch
@@ -233,6 +272,51 @@ def train(
         if pending is not None:
             consume(pending)
         pending = m
+
+    def dispatch_group():
+        """Dispatch the buffered complete accumulation groups: a full K-group
+        goes out as ONE multi-step lax.scan call (train/step.py
+        steps_per_call); a partial buffer (chunk-end flush) drains through
+        the per-step program so only two programs ever compile (K and 1)."""
+        nonlocal state, pending
+        if not group_buf:
+            return
+        import jax.numpy as jnp
+
+        same_b = len({bt[0].shape[0] for bt, _, _ in group_buf}) == 1
+        if len(group_buf) == K and K > 1 and same_b:
+            batches = tuple(_accum_stack([bt[j] for bt, _, _ in group_buf])
+                            for j in range(4))
+            lrs = jnp.asarray([lr_ for _, lr_, _ in group_buf], jnp.float32)
+            rngs = jnp.stack([key for _, _, key in group_buf])
+            group_buf.clear()
+            state, m = step_multi(state, batches, lrs, rngs)
+            if pending is not None:
+                consume(pending)
+            pending = m
+        else:
+            leftovers = list(group_buf)
+            group_buf.clear()
+            for bt, lr_, key in leftovers:
+                dispatch_one(bt, lr_, key)
+
+    def dispatch_accum():
+        """Concatenate the buffered loader batches into one meta-batch for one
+        accumulated optimizer step (the step microbatches them back via
+        lax.scan — reference GradAccum semantics, effective batch =
+        batch_size * accum_factor, ref embedding_dataset.py:198-273 — but at
+        full loader-batch MXU shapes instead of host-side re-staging), then
+        dispatch it — immediately (K=1) or buffered K-at-a-time."""
+        nonlocal rng
+        rng, k = jax.random.split(rng)
+        batch_tuple = tuple(_accum_concat([b[j] for b in accum_buf]) for j in range(4))
+        accum_buf.clear()
+        if K <= 1:
+            dispatch_one(batch_tuple, dispatch_accum.lr, k)
+            return
+        group_buf.append((batch_tuple, dispatch_accum.lr, k))
+        if len(group_buf) == K:
+            dispatch_group()
 
     while not stop_training:
         log.info("-" * 60)
@@ -265,6 +349,8 @@ def train(
             S.epoch_batches_left -= 1
 
             if chunk_batch_id == C.chunk_batches - 1:
+                dispatch_group()  # flush buffered groups so the chunk's
+                # metrics/checkpoint reflect every dispatched step
                 if pending is not None:
                     consume(pending)
                     pending = None
@@ -298,6 +384,7 @@ def train(
                              f"final {C.last_dropout_chunks} chunks")
                     model = rescale_dropout_model(model, C.last_dropout_factor)
                     step = build_step(model)
+                    step_multi = build_step(model, K) if K > 1 else None
                     dropout_trigger = None
 
                 # Checkpoint policy (ref train.py:1349-1361)
@@ -325,6 +412,7 @@ def train(
             S.epoch_batches_left = C.epoch_batches
             S.epoch_id += 1
 
+    dispatch_group()  # flush any complete groups buffered at an early exit
     if accum_buf:
         # Stopping mid-meta-batch: the reference likewise discards partially
         # accumulated meta-batches at stop/resume (ref train.py:1431,1279).

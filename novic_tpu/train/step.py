@@ -53,12 +53,22 @@ def make_train_step(
     donate: bool = True,
     in_shardings=None,
     out_shardings=None,
+    steps_per_call: int = 1,
 ):
     """Build the jitted step: (state, batch, lr, rng) → (state, metrics).
 
     batch = (embed BxF, target, mask, weight) with None members allowed.
     metrics = dict(loss_sum, loss_basis, correct, tokens, grad_norm).
-    """
+
+    steps_per_call > 1 builds the dispatch-amortized variant instead:
+    (state, batches, lrs, rngs) → (state, metrics) where every batch member
+    gains a leading K axis, lrs is (K,) and rngs is (K, 2), and the K
+    optimizer steps run as ONE device-resident ``lax.scan`` — one host
+    dispatch and one metrics fetch ((K,)-shaped leaves) instead of K. The
+    per-step dispatch overhead measured ~1.5x at production decoder shapes
+    (BENCH_NOTES feed-gap row D: 21.2k noun/s per-step vs 31.5k amortized);
+    the reference's hot loop (ref train.py:1252-1286) has no equivalent —
+    torch eager pays Python per batch by construction."""
     mean_shift_arr = None if mean_shift is None else jnp.asarray(mean_shift, jnp.float32)
 
     def microbatch_grads(params, batch, rng):
@@ -129,7 +139,17 @@ def make_train_step(
         jit_kwargs["in_shardings"] = in_shardings
     if out_shardings is not None:
         jit_kwargs["out_shardings"] = out_shardings
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else (), **jit_kwargs)
+    if steps_per_call <= 1:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else (), **jit_kwargs)
+
+    def multi_step_fn(state: TrainState, batches, lrs, rngs):
+        def body(st, xs):
+            b, lr, r = xs
+            return step_fn(st, b, lr, r)
+
+        return jax.lax.scan(body, state, (batches, lrs, rngs))
+
+    return jax.jit(multi_step_fn, donate_argnums=(0,) if donate else (), **jit_kwargs)
 
 
 @dataclasses.dataclass

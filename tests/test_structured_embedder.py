@@ -87,6 +87,34 @@ def test_gap_mix_makes_gap_class_dependent():
         assert abs(angle(gm.image_center(n), gm.prototype(n)) - 60.0) < 1e-6
 
 
+def test_crowding_reduces_prototype_separation():
+    easy = make("test-structured:64:60:0:3")
+    hard = make("test-structured:64:60:0:3:1.0:0:0.6")  # crowd=0.6
+    nouns = [f"n{i}" for i in range(20)]
+    def mean_cos(e):
+        protos = np.stack([e.prototype(n) for n in nouns])
+        cos = protos @ protos.T
+        return float(cos[np.triu_indices(len(nouns), 1)].mean())
+    # crowd=0: ~orthogonal; crowd=0.6: expected pairwise cosine ~= 0.36
+    assert abs(mean_cos(easy)) < 0.15
+    assert abs(mean_cos(hard) - 0.36) < 0.12
+    for e in (easy, hard):  # prototypes stay unit
+        for n in nouns[:3]:
+            assert abs(np.linalg.norm(e.prototype(n)) - 1.0) < 1e-6
+
+
+def test_gap_spread_varies_per_class_magnitude():
+    e = make("test-structured:64:60:0:3:1.0:20")  # gap 60 +- 20
+    nouns = [f"n{i}" for i in range(30)]
+    gaps = np.asarray([angle(e.image_center(n), e.prototype(n)) for n in nouns])
+    assert (gaps >= 40.0 - 1e-6).all() and (gaps <= 80.0 + 1e-6).all()
+    assert gaps.std() > 5.0            # actually spread out
+    assert abs(gaps.mean() - 60) < 8.0  # centered on the nominal gap
+    # per-class magnitude is deterministic
+    assert angle(e.image_center("dog"), e.prototype("dog")) == \
+        pytest.approx(e.class_gap_deg("dog"), abs=1e-6)
+
+
 def test_vocab_and_dataset_writers(tmp_path):
     vocab = make_structured_vocab(5, freq=3, seed=2)
     assert len({e["target_noun"] for e in vocab}) == 5

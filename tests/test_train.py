@@ -700,3 +700,54 @@ def test_loop_accum_matches_big_batch(setup):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
     assert abs(e1.loss - e2.loss) < 1e-4
+
+
+def test_multi_step_dispatch_matches_per_step(setup):
+    """steps_per_dispatch > 1 (K optimizer steps per host dispatch as one
+    device-resident lax.scan, train/step.py steps_per_call) is dispatch
+    plumbing only: params, EWA metrics and per-step grad-norm count must
+    match per-step dispatch exactly. K=3 over 4 accumulation groups also
+    exercises the partial-buffer flush at chunk end, and trimmed token
+    lengths exercise the _accum_stack re-padding."""
+    tmp, tok, tc, tt, cache_path = setup
+    rng = np.random.default_rng(23)
+    F_, B, C_tok = F, 8, tc.token_length
+    batches = []
+    for g in range(8):
+        embed = rng.normal(size=(B, F_)).astype(np.float32)
+        embed /= np.linalg.norm(embed, axis=1, keepdims=True)
+        target = rng.integers(2, tc.vocab_size, size=(B, C_tok)).astype(np.int32)
+        mask = np.zeros((B, C_tok), dtype=bool)
+        mask[:, -1] = True
+        target[:, -1] = 0
+        if g % 2 == 1:  # alternate trimmed widths across groups
+            target = target[:, :C_tok - 1]
+            mask = mask[:, :C_tok - 1]
+        batches.append((embed, target, mask, None))
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    results = []
+    for spd in (1, 3):
+        model, params = make_model(tc)
+        C = TrainLoopConfig(chunk_batches=len(batches), chunk_samples=len(batches) * B,
+                            epoch_batches=len(batches), max_chunks=1, batch_size=B,
+                            accum_size=2, steps_per_dispatch=spd, init_lr=1e-3,
+                            lr_warmup=0, save_every_max=1000, loss_ewa_halflife=1.0)
+        state, S, ewa = train(model=model, params=params, dataset=None,
+                              loader=ListLoader(batches), loader_info=None, C=C)
+        results.append((jax.tree.map(np.asarray, state.params), ewa, S))
+    (p1, e1, s1), (p2, e2, s2) = results
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    assert abs(e1.loss - e2.loss) < 1e-4
+    assert abs(e1.top1 - e2.top1) < 1e-6
+    assert (s1.batch_id, s1.sample_id) == (s2.batch_id, s2.sample_id)
