@@ -176,6 +176,12 @@ def bench_backbone(name: str) -> dict:
     spec, a6000_img_s, _ = BACKBONES[name]
     arch = lookup(spec)
     vcfg = arch.vision
+    quant = os.environ.get("BENCH_TOWER_QUANT", "")
+    if quant:  # int8 serving-mode A/B (VisionTowerConfig.quant)
+        import dataclasses as _dc
+
+        vcfg = _dc.replace(vcfg, quant=quant)
+        arch = _dc.replace(arch, vision=vcfg)
     pcfg = arch.preprocess
     batch = int(os.environ.get("BENCH_BATCH",
                                256 if name in ("siglip_b16", "eva02_b16", "align_base")

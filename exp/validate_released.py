@@ -207,6 +207,24 @@ def write_released_report(args, results: dict) -> None:
     bench = results.get("bench")
     if bench:
         lines += ["## Backbone bench", "", "```", json.dumps(bench), "```", ""]
+    table = results.get("bench_table")
+    if table:
+        lines += [
+            "## Per-backbone bench (this chip, random weights, uint8 frames)", "",
+            "| backbone | spec | img/s | vs A6000 ref | v5e-8 DP projection |",
+            "|---|---|---|---|---|"]
+        for name, row in table.items():
+            if "error" in row:
+                lines.append(f"| {name} | — | FAILED | — | — |")
+                continue
+            e = row["extra"]
+            lines.append(f"| {name} | `{e['backbone']}` | {row['value']} | "
+                         f"{row['vs_baseline']}x ({e['a6000_baseline_img_per_sec']}) | "
+                         f"{e['v5e8_dp_projection_img_per_sec']} |")
+        lines += ["",
+                  "Reference A6000 rates: ref README.md:295-301 / config/train.yaml "
+                  "embed-speed table. Projections are linear DP x8 (no cross-chip "
+                  "traffic in image encode).", ""]
     lines += ["## Reproduce", "", "```",
               "python exp/validate_released.py " + " ".join(sys.argv[1:]),
               "```", f"Work dir: {ra.WORK}"]
@@ -233,6 +251,10 @@ def main() -> None:
                    help="also run the backbone bench (BENCH_BACKBONE mode)")
     p.add_argument("--bench_backbone", default="siglip_b16",
                    choices=sorted(_bench.BACKBONES))
+    p.add_argument("--bench_all", nargs="?", const=",".join(sorted(_bench.BACKBONES)),
+                   default=None, metavar="NAMES",
+                   help="emit the per-backbone bench table into the report "
+                        "(comma list of backbone keys; no value = all)")
     p.add_argument("--synthetic", action="store_true",
                    help="dry-run the whole flow on fabricated assets")
     args = p.parse_args()
@@ -268,16 +290,24 @@ def main() -> None:
                 model_path, gencfg=args.gencfg,
                 result_name="result_labels_released.json", embedder_spec=spec)
 
-    if args.bench:
-        env = dict(os.environ, BENCH_BACKBONE=args.bench_backbone)
+    def run_backbone_bench(name: str):
+        env = dict(os.environ, BENCH_BACKBONE=name)
         proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                               env=env, capture_output=True, text=True, timeout=3600)
         sys.stdout.write(proc.stdout)
         if proc.returncode == 0 and proc.stdout.strip():
-            results["bench"] = json.loads(proc.stdout.strip().splitlines()[-1])
-        else:
-            sys.stderr.write(proc.stderr)
-            log("bench failed (non-fatal)")
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        sys.stderr.write(proc.stderr)
+        log(f"bench {name} failed (non-fatal)")
+        return {"error": proc.returncode}
+
+    if args.bench:
+        out = run_backbone_bench(args.bench_backbone)
+        if "error" not in out:
+            results["bench"] = out
+    if args.bench_all:
+        results["bench_table"] = {name.strip(): run_backbone_bench(name.strip())
+                                  for name in args.bench_all.split(",") if name.strip()}
 
     write_released_report(args, results)
 

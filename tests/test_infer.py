@@ -474,6 +474,113 @@ def test_demo_server(trained_checkpoint, tmp_path):
             thread.join(timeout=10)
 
 
+@pytest.mark.slow  # full-tier (pytest --full)
+def test_demo_server_concurrent_soak(trained_checkpoint, tmp_path):
+    """N concurrent clients hammer a live server with mixed gencfgs, uploads,
+    sample classifies and gallery reads (VERDICT r4 #7). Asserts: every
+    response correct (matching a single-threaded baseline per (image, gencfg)
+    — i.e. no cross-request state bleed through the per-gencfg task cache),
+    and bounded queueing (the model lock serializes inference, so wall time
+    stays near sum-of-inference; nothing deadlocks or drops)."""
+    import http.client
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from novic_tpu.tools.demo_server import create_server
+
+    ckpt_path, _, _ = trained_checkpoint
+    names = _write_test_images(tmp_path, n=3)
+    images = {n: (tmp_path / n).read_bytes() for n in names}
+    gencfgs = ["greedy_k1_vnone_gn_t1_a0", "beam_k2_vnone_gn_t1_a0",
+               "beam_k3_vnone_gr_t1_a0"]
+    model = NOVICModel(ckpt_path, gencfg=gencfgs[0], batch_size=1)
+    with model:
+        server = create_server(model, image_dir=str(tmp_path), port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.server_address[1]
+
+        def request(method, path, body=None):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            try:
+                conn.request(method, path, body=body)
+                resp = conn.getresponse()
+                return resp.status, resp.read()
+            finally:
+                conn.close()
+
+        try:
+            # Single-threaded baseline per (image, gencfg) — also warms every
+            # task's compile cache so the soak measures steady-state serving
+            baseline = {}
+            for n in names:
+                for g in gencfgs:
+                    status, body = request("POST", f"/classify?gencfg={g}",
+                                           body=images[n])
+                    assert status == 200, body
+                    out = json.loads(body)
+                    assert out["gencfg"] == g
+                    baseline[(n, g)] = (out["preds"], out["types"])
+
+            N_CLIENTS, PER_CLIENT = 8, 12
+            errors = []
+            counts = {"classify": 0, "sample": 0, "gallery": 0}
+            t0 = _time.perf_counter()
+
+            def client(cid):
+                rng = np.random.default_rng(cid)
+                for i in range(PER_CLIENT):
+                    n = names[int(rng.integers(len(names)))]
+                    g = gencfgs[int(rng.integers(len(gencfgs)))]
+                    kind = int(rng.integers(4))
+                    try:
+                        if kind == 0:  # gallery reads interleave with inference
+                            status, body = request("GET", "/samples")
+                            assert status == 200 and json.loads(body) == names
+                            status, body = request("GET", f"/sample/{n}")
+                            assert status == 200 and body == images[n]
+                            counts["gallery"] += 1
+                        elif kind == 1:
+                            status, body = request(
+                                "POST", f"/classify_sample?name={n}&gencfg={g}")
+                            assert status == 200, body
+                            out = json.loads(body)
+                            assert out["gencfg"] == g
+                            assert (out["preds"], out["types"]) == baseline[(n, g)], \
+                                f"state bleed: {(n, g)} gave {out['preds']}"
+                            counts["sample"] += 1
+                        else:
+                            status, body = request("POST", f"/classify?gencfg={g}",
+                                                   body=images[n])
+                            assert status == 200, body
+                            out = json.loads(body)
+                            assert (out["preds"], out["types"]) == baseline[(n, g)], \
+                                f"state bleed: {(n, g)} gave {out['preds']}"
+                            counts["classify"] += 1
+                    except Exception as e:  # noqa: BLE001 — collected for the main thread
+                        errors.append((cid, i, repr(e)))
+
+            with ThreadPoolExecutor(max_workers=N_CLIENTS) as pool:
+                list(pool.map(client, range(N_CLIENTS)))
+            wall = _time.perf_counter() - t0
+            assert not errors, errors[:5]
+            total = N_CLIENTS * PER_CLIENT
+            assert sum(counts.values()) == total
+            # Bounded queueing: all requests completed; the single model lock
+            # serializes inference so per-request latency is queue-depth
+            # bounded, not unbounded (generous wall gate = no deadlock/livelock)
+            assert wall < 240, f"soak took {wall:.1f}s for {total} requests"
+            print(f"soak: {total} requests over {N_CLIENTS} clients in {wall:.1f}s "
+                  f"= {total / wall:.1f} req/s {counts}")
+            # The per-gencfg task cache holds exactly the gencfgs used
+            for g in gencfgs:
+                assert g in model._task_cache
+        finally:
+            server.shutdown()
+            thread.join(timeout=10)
+
+
 def test_task_cache_per_request_gencfg_and_eviction(trained_checkpoint):
     """classify_embeds(gencfg=...) uses a cached task without mutating the
     model's default; the per-name cache is bounded (demo-server clients
