@@ -77,7 +77,10 @@ def test_training_loss_decreases(setup):
     C = TrainLoopConfig(chunk_batches=chunk_batches, chunk_samples=chunk_batches * 64,
                         epoch_batches=info.epoch_batches, max_chunks=6, batch_size=64,
                         init_lr=3e-3, lr_warmup=1, save_every_max=1000,
-                        loss_ewa_halflife=1.0)
+                        loss_ewa_halflife=1.0,
+                        # exercise the multi-step dispatch path's
+                        # (K, batch) P(None, 'data') shardings on the mesh
+                        steps_per_dispatch=2)
     noise = EmbeddingNoise.create("GaussElem", vec_norm=0.5)
 
     with ds.loaded():
