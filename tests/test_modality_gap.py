@@ -85,3 +85,63 @@ def test_modality_gap_noise_ablation(tmp_path):
     assert img_noise >= 0.85, f"noise arm failed to transfer: {img_noise}"
     assert img_none <= 0.65, f"no-noise arm unexpectedly transfers: {img_none}"
     assert img_noise - img_none >= 0.3
+
+
+def test_modality_gap_graded_arm_ordering(tmp_path):
+    """The de-saturated testbed (VERDICT r4 #3): class-dependent gap direction
+    (gap_mix 0.25) + per-class magnitude spread + light prototype crowding
+    put every arm off its ceiling, and the paper's ordering emerges with real
+    effect sizes: noise+shift > noise > shift > none (full-scale chip tables
+    in MODALITY_GAP.md; this pins the same regime at CI scale — measured
+    here: none 0.57, shift 0.62, noise 0.69, noise+shift 0.74, zero-shot
+    0.95)."""
+    import glob
+
+    vocab = make_structured_vocab(CLASSES, freq=40, seed=0)
+    nouns = [e["target_noun"] for e in vocab]
+    with open(tmp_path / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    cls_root = str(tmp_path / "cls")
+    write_structured_cls_dataset(cls_root, nouns, 8, seed=1)
+
+    # gap 68 +- 8 (class-dependent magnitude), direction 25% global, crowd 0.15
+    common = ["embedder=test-structured:128:68:10:0:0.25:8:0.15",
+              f"vocab_path={tmp_path}/vocab.json", "prompt_path=",
+              "prompt_collection=Basic", "hypernym_collection=None", "seed=0",
+              f"output_dir={tmp_path}/outputs"]
+    cls_args = ["cls_dataset=Food101", f"cls_dataset_root={cls_root}",
+                "cls_split=valid", "batch_size_image=128"]
+    model_args = ["batch_size=256", "hidden_dim=96", "num_layers=2", "num_heads=4",
+                  "mlp_seq_len=2", "input_dropout=0.0", "layer_dropout=0.0"]
+
+    cache = str(tmp_path / "multiset.bin")
+    main(["action=cache_noun_multiset", f"save_embedding_cache={cache}",
+          "multi_target_freq=[2,1]"] + common)
+    gap_path = str(tmp_path / "gap.json")
+    zs = main(["action=embedder_zero_shot", "measure_gap=true",
+               f"gap_output_path={gap_path}"] + cls_args + common)
+    assert zs["Food101"] >= 0.85  # encoder stays separable in the hard regime
+
+    shift = ["mean_shift=true", f"mean_shift_path={gap_path}"]
+    arms = {"none": [], "noise": RELEASED_NOISE, "shift": shift,
+            "noise_shift": RELEASED_NOISE + shift}
+    img = {}
+    for arm, extra in arms.items():
+        out_dir = f"{tmp_path}/outputs_{arm}"
+        args = [a if not a.startswith("output_dir=") else f"output_dir={out_dir}"
+                for a in common]
+        main(["action=train", f"embedding_dataset={cache}", "chunk_scale=50",
+              "max_chunks=12", "init_lr=2e-3", "save_every_max=1000000",
+              "save_top1_min=200"] + extra + model_args + args)
+        ckpt = sorted(glob.glob(f"{out_dir}/ovod_*/*.npz"))[-1]
+        (_, img_res), = list(main(["action=eval_cls", f"load_model={ckpt}"]
+                                  + cls_args + model_args + args).items())
+        img[arm] = float(img_res["direct_top1"])
+
+    # Graded (nothing saturated) ...
+    assert all(0.3 < v < 0.95 for v in img.values()), img
+    # ... with the paper's ordering and real margins
+    assert img["noise"] - img["none"] >= 0.05, img
+    assert img["noise"] - img["shift"] >= 0.03, img
+    assert img["noise_shift"] >= img["noise"] - 0.01, img
+    assert img["shift"] >= img["none"] - 0.01, img
