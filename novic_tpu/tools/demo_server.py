@@ -237,12 +237,15 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--guide_targets_file", default=None)
     p.add_argument("--image_dir", default=None, help="directory of sample images for the gallery")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--precompute_dir", default=None,
+                   help="on-disk store for 'all'-mode decode precompute "
+                        "(restart-cheap serving; models/precompute_store.py)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 
     model = NOVICModel(args.checkpoint, embedder_spec=args.embedder_spec, gencfg=args.gencfg,
-                       batch_size=args.batch_size)
+                       batch_size=args.batch_size, precompute_dir=args.precompute_dir)
     if args.guide_targets_file:
         model.set_guide_targets(guide_targets_file=args.guide_targets_file)
     with model:
