@@ -190,8 +190,24 @@ def bench_backbone(name: str) -> dict:
 
     vision, _ = tower_modules(arch)
     S = vcfg.image_size
-    v_params = jax.jit(vision.init)({"params": jax.random.PRNGKey(0)},
-                                    jnp.zeros((1, S, S, 3), jnp.float32))["params"]
+
+    # ViT-E-class towers (eva02_e14: 4.4B params) exceed single-chip HBM in
+    # f32 storage; store params in the compute dtype (bf16) instead. The cast
+    # happens INSIDE the init jit so the f32 originals never materialize
+    # together (peak = one f32 param + the bf16 tree).
+    param_dtype = os.environ.get("BENCH_PARAM_DTYPE",
+                                 "bfloat16" if name == "eva02_e14" else "")
+
+    def init_params(key, x):
+        params = vision.init({"params": key}, x)["params"]
+        if param_dtype:
+            dt = jnp.dtype(param_dtype)
+            params = jax.tree.map(
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+        return params
+
+    v_params = jax.jit(init_params)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, S, S, 3), jnp.float32))
 
     frame_res = max(256, S)
 
