@@ -91,14 +91,83 @@ fetch('/samples').then(r => r.json()).then(names => {{
 """
 
 
+class MicroBatcher:
+    """Request coalescing for concurrent serving: requests that arrive while
+    an inference batch is running queue up, and the next leader thread drains
+    up to max_batch SAME-gencfg requests into one classify_images call
+    (padded to the model's batch_pad shape, so no per-size recompiles).
+
+    The reference serves its demo strictly one-request-at-a-time (hosted
+    Spaces app); on TPU a padded batch of K images costs nearly the same as
+    one, so coalescing multiplies concurrent throughput by ~K. Oldest-first
+    group selection prevents cross-gencfg starvation."""
+
+    def __init__(self, model, lock: threading.Lock, max_batch: int = 8):
+        self.model = model
+        self.lock = lock           # the model/compile lock (shared with warm-up)
+        self.max_batch = max(int(max_batch), 1)
+        self.mutex = threading.Lock()
+        self.queue: list[dict] = []
+        # Observability (read by tests/metrics): inference batches run and
+        # the largest coalesced group so far
+        self.batches_run = 0
+        self.requests_served = 0
+        self.max_group = 0
+
+    def classify(self, image, gencfg: Optional[str]) -> dict:
+        """Enqueue one image and return its row of the (possibly batched)
+        NOVICOutput as a response dict. Raises the model's error if its
+        group failed."""
+        item = {"img": image, "g": gencfg, "ev": threading.Event(),
+                "out": None, "err": None}
+        with self.mutex:
+            self.queue.append(item)
+        while not item["ev"].is_set():
+            with self.lock:  # become the leader for one batch
+                with self.mutex:
+                    if item["ev"].is_set() or not self.queue:
+                        continue  # served while waiting for the lock
+                    g0 = self.queue[0]["g"]
+                    group = [it for it in self.queue if it["g"] == g0][:self.max_batch]
+                    for it in group:
+                        self.queue.remove(it)
+                try:
+                    out = self.model.classify_images([it["img"] for it in group],
+                                                     gencfg=g0 or None)
+                    used = (self.model.task_for(g0).gencfg.name if g0
+                            else self.model.gencfg.name)
+                    for i, it in enumerate(group):
+                        it["out"] = {"preds": [out.preds[i]],
+                                     "logprobs": [out.logprobs[i]],
+                                     "probs": [out.probs[i]],
+                                     "types": [out.types[i]],
+                                     "gencfg": used,
+                                     "batched": len(group)}
+                except Exception as e:  # noqa: BLE001 — delivered to each waiter
+                    for it in group:
+                        it["err"] = e
+                finally:
+                    with self.mutex:
+                        self.batches_run += 1
+                        self.requests_served += len(group)
+                        self.max_group = max(self.max_group, len(group))
+                    for it in group:
+                        it["ev"].set()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+
 class DemoState:
     """Shared server state: one entered NOVICModel guarded by a lock (one TPU,
-    one compiled task — requests serialize at the inference call)."""
+    one compiled task — requests serialize at the inference call, coalescing
+    into micro-batches under concurrency)."""
 
-    def __init__(self, model, image_dir: Optional[str] = None):
+    def __init__(self, model, image_dir: Optional[str] = None, max_batch: int = 8):
         self.model = model
         self.image_dir = image_dir
         self.lock = threading.Lock()
+        self.batcher = MicroBatcher(model, self.lock, max_batch=max_batch)
 
     def sample_names(self) -> list[str]:
         if not self.image_dir or not os.path.isdir(self.image_dir):
@@ -118,18 +187,16 @@ class DemoState:
         import PIL.Image
 
         image = PIL.Image.open(io.BytesIO(data)).convert("RGB")
-        with self.lock:
-            # gencfg is a per-request parameter: NOVICModel caches one built
-            # GenerationTask (with its compile cache) per canonical name, so a
-            # client toggling gencfgs pays one compile per distinct name and
-            # never changes the behavior other clients see.
-            start = time.perf_counter()
-            out = self.model.classify_image(image, gencfg=gencfg or None)
-            ms = (time.perf_counter() - start) * 1e3
-            used = (self.model.task_for(gencfg).gencfg.name if gencfg
-                    else self.model.gencfg.name)
-        return {"preds": out.preds, "logprobs": out.logprobs, "probs": out.probs,
-                "types": out.types, "ms": ms, "gencfg": used}
+        # gencfg is a per-request parameter: NOVICModel caches one built
+        # GenerationTask (with its compile cache) per canonical name, so a
+        # client toggling gencfgs pays one compile per distinct name and
+        # never changes the behavior other clients see. Concurrent
+        # same-gencfg requests coalesce into one padded inference batch
+        # (MicroBatcher), so queueing time amortizes instead of stacking.
+        start = time.perf_counter()
+        out = self.batcher.classify(image, gencfg or None)
+        out["ms"] = (time.perf_counter() - start) * 1e3
+        return out
 
 
 class DemoHandler(BaseHTTPRequestHandler):
@@ -218,11 +285,12 @@ class DemoHandler(BaseHTTPRequestHandler):
 
 
 def create_server(model, *, image_dir: Optional[str] = None, host: str = "127.0.0.1",
-                  port: int = 8000) -> ThreadingHTTPServer:
+                  port: int = 8000, max_batch: int = 8) -> ThreadingHTTPServer:
     """Build the HTTP server around an already-entered NOVICModel. The caller
     owns the model lifecycle; serve with .serve_forever() and stop with
-    .shutdown()."""
-    state = DemoState(model, image_dir=image_dir)
+    .shutdown(). max_batch bounds request coalescing (keep <= the model's
+    batch_size so groups pad into one compiled shape)."""
+    state = DemoState(model, image_dir=image_dir, max_batch=max_batch)
     handler = type("BoundDemoHandler", (DemoHandler,), {"state": state})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -236,7 +304,11 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--gencfg", default="beam_k10_vnone_gn_t1_a0")
     p.add_argument("--guide_targets_file", default=None)
     p.add_argument("--image_dir", default=None, help="directory of sample images for the gallery")
-    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="model batch size (default: max_batch, so coalesced "
+                        "request groups pad into one compiled shape)")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="max concurrent requests coalesced into one inference batch")
     p.add_argument("--precompute_dir", default=None,
                    help="on-disk store for 'all'-mode decode precompute "
                         "(restart-cheap serving; models/precompute_store.py)")
@@ -244,15 +316,17 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 
+    batch_size = args.batch_size if args.batch_size else max(args.max_batch, 1)
     model = NOVICModel(args.checkpoint, embedder_spec=args.embedder_spec, gencfg=args.gencfg,
-                       batch_size=args.batch_size, precompute_dir=args.precompute_dir)
+                       batch_size=batch_size, precompute_dir=args.precompute_dir)
     if args.guide_targets_file:
         model.set_guide_targets(guide_targets_file=args.guide_targets_file)
     with model:
         # Serve right away (health checks and the page respond immediately);
         # warm the compile cache under the state lock so the first classify
         # request queues behind it instead of racing the compile
-        server = create_server(model, image_dir=args.image_dir, host=args.host, port=args.port)
+        server = create_server(model, image_dir=args.image_dir, host=args.host,
+                               port=args.port, max_batch=args.max_batch)
         log.info(f"NOVIC demo serving on http://{args.host}:{server.server_address[1]}/")
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()

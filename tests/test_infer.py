@@ -494,9 +494,10 @@ def test_demo_server_concurrent_soak(trained_checkpoint, tmp_path):
     images = {n: (tmp_path / n).read_bytes() for n in names}
     gencfgs = ["greedy_k1_vnone_gn_t1_a0", "beam_k2_vnone_gn_t1_a0",
                "beam_k3_vnone_gr_t1_a0"]
-    model = NOVICModel(ckpt_path, gencfg=gencfgs[0], batch_size=1)
+    model = NOVICModel(ckpt_path, gencfg=gencfgs[0], batch_size=8)
     with model:
-        server = create_server(model, image_dir=str(tmp_path), port=0)
+        server = create_server(model, image_dir=str(tmp_path), port=0, max_batch=8)
+        state = server.RequestHandlerClass.state
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
         port = server.server_address[1]
@@ -576,6 +577,13 @@ def test_demo_server_concurrent_soak(trained_checkpoint, tmp_path):
             # The per-gencfg task cache holds exactly the gencfgs used
             for g in gencfgs:
                 assert g in model._task_cache
+            # Micro-batcher bookkeeping is consistent, and concurrency
+            # actually coalesced requests (8 clients against a serialized
+            # model: followers pile up while the leader runs)
+            b = state.batcher
+            assert b.requests_served == counts["classify"] + counts["sample"] + 9
+            assert b.batches_run <= b.requests_served
+            assert b.max_group >= 2, "no request coalescing ever happened"
         finally:
             server.shutdown()
             thread.join(timeout=10)
