@@ -145,8 +145,14 @@ class StructuredEmbedder(HashEmbedder):
                          image_batch_size=image_batch_size, check=check,
                          tokenizer=tokenizer)
         self.configuration.update(gap_deg=gap_deg, jitter_deg=jitter_deg, seed=seed,
-                                  gap_mix=gap_mix, gap_spread_deg=gap_spread_deg,
-                                  crowd=crowd)
+                                  gap_mix=gap_mix)
+        # New difficulty knobs enter the configuration hash only when active:
+        # at the defaults (0.0) the embedder is mathematically identical to
+        # the pre-knob one, so caches written earlier keep validating.
+        if gap_spread_deg:
+            self.configuration.update(gap_spread_deg=gap_spread_deg)
+        if crowd:
+            self.configuration.update(crowd=crowd)
         self.gap_deg = float(gap_deg)
         self.jitter_deg = float(jitter_deg)
         # gap_mix: weight of the GLOBAL gap direction vs a per-class one.

@@ -783,8 +783,17 @@ def generate_all(
     renorm = gn_s is not None
     # Renorm mask tables ride as jit ARGUMENTS (device arrays), like the
     # beam/greedy tries — closure constants would inline them into the
-    # remote compile request (~MBs at FT0 scale).
-    rt_d = jax.device_put(precompute.renorm_trie) if renorm else None
+    # remote compile request (~MBs at FT0 scale). Only the four base tables
+    # upload: the scoring scan reads child_tok alone, and pinning the pytree
+    # to the base keys keeps freshly-built tries (which carry child_pack)
+    # structurally identical to store-loaded ones (which don't) — one jit
+    # structure either way.
+    if renorm:
+        rt_d = jax.device_put({k: precompute.renorm_trie[k]
+                               for k in ("child_tok", "child_id",
+                                         "child_cnt", "node_cnt")})
+    else:
+        rt_d = None
 
     def scan_slice(p, pk, pv, rt, *xs):
         T = xs[0].shape[2] - 1       # tokens fed per target (length - 1)

@@ -76,17 +76,26 @@ def int8_matmul_pallas(xq: jnp.ndarray, wq_t: jnp.ndarray, *, bm: int = 512,
 
     Inputs are padded up to tile multiples (int8 min tile 32x128); bk=0 means
     the full (padded) K per step. interpret=True for CPU-backed tests."""
+    def round_up(x, m):
+        return -(-x // m) * m
+
     M, K = xq.shape
     K2, N = wq_t.shape
     assert K == K2, (xq.shape, wq_t.shape)
-    bm = min(bm, max(32, M))
-    bn = min(bn, max(128, N))
-    xq = _pad_to(_pad_to(xq, bm, 0), 128, 1)
-    wq_t = _pad_to(_pad_to(wq_t, 128, 0), bn, 1)
+    # Clamp then round the tile sizes up to the int8 min tile (32 sublanes x
+    # 128 lanes) so arbitrary M/N (e.g. 257 tokens of a ViT-H image) lower
+    # cleanly; operands pad up to whole tiles (zero padding is exact for the
+    # dot product).
+    bm = round_up(min(bm, max(32, M)), 32)
+    bn = round_up(min(bn, max(128, N)), 128)
+    bk = round_up(min(bk, K), 128) if bk else 0
+    xq = _pad_to(_pad_to(xq, bm, 0), bk or 128, 1)
+    wq_t = _pad_to(_pad_to(wq_t, bk or 128, 0), bn, 1)
     Mp, Kp = xq.shape
     Np = wq_t.shape[1]
-    bk = Kp if bk == 0 else min(bk, Kp)
+    bk = Kp if bk == 0 else bk
     n_k = Kp // bk
+    assert Kp % bk == 0, (Kp, bk)  # K padded to a whole number of bk blocks
 
     out = pl.pallas_call(
         functools.partial(_int8_mm_kernel, n_k=n_k),
@@ -110,7 +119,13 @@ def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray, b, *,
     """Quantized x @ w.T + b with pre-quantized torch-layout weights.
 
     x: (..., I) float; wq: (O, I) int8; sw: (O,) f32; b: (O,) or None.
-    Returns f32, matching tower_dense's f32-accumulate contract."""
+    Returns f32, matching tower_dense's f32-accumulate contract.
+
+    Note: the tower serving mode (vit.py tower_dense) currently quantizes
+    weights per call; the BENCH_NOTES conclusive negative is robust to that
+    overhead — the MLP-chain probe used PRE-quantized weights and still
+    measured at most 1.09x bf16, so load-time weight caching cannot flip
+    the verdict on this hardware."""
     lead = x.shape[:-1]
     I = x.shape[-1]
     O = wq.shape[0]

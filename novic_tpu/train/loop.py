@@ -87,19 +87,17 @@ class TrainLoopState:
         return TrainLoopState(**d)
 
 
-def _accum_concat(xs: list):
-    """Concatenate one field of an accumulation group along the batch axis.
+def _pad_trailing_and_combine(xs: list, mode: str):
+    """Pad one field of several batches to common trailing dims, then combine.
 
-    Group members may differ in trailing dims (the cache Dataset's dynamic
+    Members may differ in trailing dims (the cache Dataset's dynamic
     multi-target / token-length trims drop all-padding columns per batch,
     data/cache.py:741-776); padding them back with the format's own padding
-    values (target id 0, padding-mask True, weight 0) reconstructs exactly the
-    untrimmed representation, so the concatenated meta-batch is loss-identical
-    to forwarding each batch separately."""
+    values (target id 0, padding-mask True, weight 0) reconstructs exactly
+    the untrimmed representation, so the combined batch is loss-identical to
+    forwarding each batch separately."""
     if xs[0] is None:
         return None
-    if len(xs) == 1:
-        return xs[0]
     import jax.numpy as jnp
 
     xp = jnp if any(isinstance(x, jax.Array) for x in xs) else np
@@ -112,30 +110,21 @@ def _accum_concat(xs: list):
             return x
         return xp.pad(x, widths, constant_values=pad_value)
 
-    return xp.concatenate([pad(x) for x in xs], axis=0)
+    padded = [pad(x) for x in xs]
+    return xp.concatenate(padded, axis=0) if mode == "concat" else xp.stack(padded, axis=0)
+
+
+def _accum_concat(xs: list):
+    """Concatenate one field of an accumulation group along the batch axis."""
+    if xs is not None and xs and xs[0] is not None and len(xs) == 1:
+        return xs[0]
+    return _pad_trailing_and_combine(xs, "concat")
 
 
 def _accum_stack(xs: list):
     """Stack one field of K meta-batches along a NEW leading axis for a
-    multi-step dispatch (train/step.py steps_per_call). Trailing dims may
-    differ across groups (per-batch trims); padding them back with the
-    format's own padding values is loss-identical — same argument as
-    _accum_concat."""
-    if xs[0] is None:
-        return None
-    import jax.numpy as jnp
-
-    xp = jnp if any(isinstance(x, jax.Array) for x in xs) else np
-    trailing = [max(x.shape[d] for x in xs) for d in range(1, xs[0].ndim)]
-    pad_value = True if xs[0].dtype == bool else 0
-
-    def pad(x):
-        widths = [(0, 0)] + [(0, t - s) for s, t in zip(x.shape[1:], trailing)]
-        if not any(w[1] for w in widths):
-            return x
-        return xp.pad(x, widths, constant_values=pad_value)
-
-    return xp.stack([pad(x) for x in xs], axis=0)
+    multi-step dispatch (train/step.py steps_per_call)."""
+    return _pad_trailing_and_combine(xs, "stack")
 
 
 def compute_chunk_batches(num_valid_targets: int, chunk_scale: float, batch_size: int) -> int:

@@ -49,14 +49,19 @@ def test_int8_dense_leading_dims_and_no_bias():
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("m,k,n", [(64, 128, 256), (40, 70, 200), (512, 1280, 640)])
-def test_pallas_matmul_matches_xla(m, k, n):
+@pytest.mark.parametrize("m,k,n,bk", [(64, 128, 256, 0), (40, 70, 200, 0),
+                                      (512, 1280, 640, 0),
+                                      # bk not dividing K: K pads to whole blocks
+                                      (128, 1280, 256, 512),
+                                      # M not a multiple of the 32-sublane tile
+                                      (257, 384, 256, 0)])
+def test_pallas_matmul_matches_xla(m, k, n, bk):
     rng = np.random.default_rng(3)
     xq = jnp.asarray(rng.integers(-127, 128, size=(m, k)), jnp.int8)
     wq = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
     want = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
-    got = int8_matmul_pallas(xq, wq, bm=64, bn=128, interpret=True)
+    got = int8_matmul_pallas(xq, wq, bm=64, bn=128, bk=bk, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
