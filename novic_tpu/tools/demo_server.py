@@ -296,6 +296,14 @@ def create_server(model, *, image_dir: Optional[str] = None, host: str = "127.0.
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    # Restart-cheap serving: persist XLA executables across processes (pairs
+    # with --precompute_dir, which persists the host-side decode precompute).
+    # Opt out with NOVIC_JAX_CACHE="".
+    cache_dir = os.environ.get("NOVIC_JAX_CACHE",
+                               os.path.expanduser("~/.cache/novic_jax"))
+    if cache_dir:
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+
     from novic_tpu.infer import NOVICModel
 
     p = argparse.ArgumentParser(description="NOVIC local live demo server")
