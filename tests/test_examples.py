@@ -42,3 +42,10 @@ def test_multichip_dp_example():
 def test_tp_serving_example():
     out = _run("tp_serving.py")
     assert "OK: tensor-parallel tower serving matches single-device numerics" in out
+
+
+def test_serving_example():
+    out = _run("serving.py")
+    assert "Serving on http" in out
+    assert "largest group" in out
+    assert "Restarted model served 'all' decode from the store" in out
