@@ -131,21 +131,31 @@ class MicroBatcher:
                     group = [it for it in self.queue if it["g"] == g0][:self.max_batch]
                     for it in group:
                         self.queue.remove(it)
-                try:
-                    out = self.model.classify_images([it["img"] for it in group],
+                def run(members):
+                    out = self.model.classify_images([it["img"] for it in members],
                                                      gencfg=g0 or None)
                     used = (self.model.task_for(g0).gencfg.name if g0
                             else self.model.gencfg.name)
-                    for i, it in enumerate(group):
+                    for i, it in enumerate(members):
                         it["out"] = {"preds": [out.preds[i]],
                                      "logprobs": [out.logprobs[i]],
                                      "probs": [out.probs[i]],
                                      "types": [out.types[i]],
                                      "gencfg": used,
-                                     "batched": len(group)}
-                except Exception as e:  # noqa: BLE001 — delivered to each waiter
+                                     "batched": len(members)}
+
+                try:
+                    run(group)
+                except Exception:  # noqa: BLE001 — isolate the poisoned member
+                    # One bad request (e.g. an image the preprocess rejects)
+                    # must not fail its co-batched neighbors: retry each
+                    # member singly, still under the model lock, delivering
+                    # each its own result or error.
                     for it in group:
-                        it["err"] = e
+                        try:
+                            run([it])
+                        except Exception as e:  # noqa: BLE001
+                            it["err"] = e
                 finally:
                     with self.mutex:
                         self.batches_run += 1

@@ -609,3 +609,49 @@ def test_task_cache_per_request_gencfg_and_eviction(trained_checkpoint):
             model.task_for(f"beam_k{k}_vnone_gn_t1_a0")
         assert len(model._task_cache) <= 8
         assert model._task_cache["greedy_k1_vnone_gn_t1_a0"] is default_task
+
+
+def test_micro_batcher_isolates_poisoned_member():
+    """A request whose inference fails must not fail co-batched neighbors:
+    the leader retries members singly on group failure, delivering each its
+    own result or error (tools/demo_server.py MicroBatcher)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from novic_tpu.tools.demo_server import MicroBatcher
+
+    class FakeOut:
+        def __init__(self, n):
+            self.preds = [[f"p{i}"] for i in range(n)]
+            self.logprobs = [[-1.0]] * n
+            self.probs = [[0.5]] * n
+            self.types = [["correct"]] * n
+
+    class FakeModel:
+        gencfg = type("G", (), {"name": "greedy_k1_vnone_gn_t1_a0"})()
+
+        def classify_images(self, images, gencfg=None):
+            if any(img == "bad" for img in images):
+                raise ValueError("poisoned image")
+            return FakeOut(len(images))
+
+    b = MicroBatcher(FakeModel(), threading.Lock(), max_batch=8)
+    barrier = threading.Barrier(4)
+
+    def req(img):
+        barrier.wait()
+        try:
+            return ("ok", b.classify(img, None))
+        except ValueError as e:
+            return ("err", str(e))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(req, ["a", "b", "bad", "c"]))
+    kinds = [k for k, _ in results]
+    assert kinds.count("ok") == 3 and kinds.count("err") == 1
+    for k, v in results:
+        if k == "ok":
+            assert v["preds"][0][0].startswith("p") and v["gencfg"]
+        else:
+            assert "poisoned" in v
+    assert b.requests_served == 4
