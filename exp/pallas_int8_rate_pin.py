@@ -38,8 +38,8 @@ def _kernel(x_ref, w_ref, o_ref, acc_ref, *, n_k):
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _():
-        # Tiny per-block checksum write: keeps output traffic negligible so
-        # the measurement is the MXU rate, not the (M,N) store
+        # Tiny per-(i,j)-block checksum write: keeps output traffic
+        # negligible so the measurement is the MXU rate, not the (M,N) store
         o_ref[:] = jnp.sum(acc_ref[:], axis=1, keepdims=True).astype(o_ref.dtype)
 
 
@@ -52,8 +52,10 @@ def make_mm(bm, bn, bk, acc_dtype):
             grid=(M // bm, N // bn, n_k),
             in_specs=[pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
                       pl.BlockSpec((bk, bn), lambda i, j, k: (k, j))],
-            out_specs=pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            # One checksum column PER j-block: parallel j programs write
+            # disjoint blocks (an (i, 0) map would alias every j's write)
+            out_specs=pl.BlockSpec((bm, 1), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((M, N // bn), jnp.float32),
             scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),

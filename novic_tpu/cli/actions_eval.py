@@ -628,7 +628,7 @@ def action_eval_cls_decoding(cfg):
                      for g in ds_gencfgs]
             if cfg.get("precompute_dir"):
                 for task in tasks:
-                    task.precompute_dir = cfg.precompute_dir
+                    task.precompute_dir = resolve_path(cfg, cfg.precompute_dir)
             task_list = GenerationTaskList(tasks)
             B = cfg.batch_size_image
             for i in range(0, len(all_embeds), B):
@@ -791,7 +791,7 @@ def action_infer(cfg):
                                   guide_targets_set=set(guide_strs),
                                   guide_targets=guide_ids if (g.guided or g.method == "all") else None)
             if cfg.get("precompute_dir"):
-                task.precompute_dir = cfg.precompute_dir
+                task.precompute_dir = resolve_path(cfg, cfg.precompute_dir)
             preds, scores, result = [], [], []
             B = cfg.batch_size_embed
             for i in range(0, len(all_embeds), B):

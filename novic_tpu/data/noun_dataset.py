@@ -175,7 +175,7 @@ class NounDataset(EmbeddingDataset):
         for collection in self.prompt_collection:
             for freq, template in prompts_json[collection]:
                 if not isinstance(freq, int) or freq < 0:
-                    raise ValueError(f"Prompt frequency must be an integer >= 1, got {freq}")
+                    raise ValueError(f"Prompt frequency must be a non-negative integer, got {freq}")
                 if freq >= 1:
                     prompt_freq_map[template] = prompt_freq_map.get(template, 0) + freq
 
@@ -225,7 +225,7 @@ class NounDataset(EmbeddingDataset):
         for collection in self.hypernym_collection:
             for freq, template in hypernyms_json[collection]:
                 if not isinstance(freq, int) or freq < 0:
-                    raise ValueError(f"Hypernym frequency must be an integer >= 1, got {freq}")
+                    raise ValueError(f"Hypernym frequency must be a non-negative integer, got {freq}")
                 if freq >= 1:
                     hypernym_freq_map[template] = hypernym_freq_map.get(template, 0) + freq
         if None not in hypernym_freq_map:

@@ -399,6 +399,20 @@ class GenerationTask:
         import jax
 
         trie = build_guide_trie(targets, self.decoder.cfg.vocab_size, G)
+        if trie.get("child_pack") is not None:
+            # With the packed tok+id table the decode kernels read child_tok/
+            # child_id only at depth 0 (the root special case); replace the
+            # depth>=1 tables with placeholders so they are neither uploaded
+            # nor held in HBM (tens of MB at full-vocabulary scale), and drop
+            # pack_tok_bits (recomputed statically from vocab_size in
+            # models/generate.py — never read on device).
+            dummy = np.zeros((1, 1), np.int32)
+            trie = dict(trie,
+                        child_tok=[trie["child_tok"][0]]
+                        + [dummy] * (len(trie["child_tok"]) - 1),
+                        child_id=[trie["child_id"][0]]
+                        + [dummy] * (len(trie["child_id"]) - 1))
+            trie.pop("pack_tok_bits", None)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

@@ -571,6 +571,10 @@ class GenerateAllPrecompute:
     guide_nodes: Optional[np.ndarray]   # (W, C) trie node of each prefix (renorm only)
     vocab_scores: Optional[np.ndarray]  # (W,) prior correction per guide target
     alpha_scale: Optional[np.ndarray]   # (W,) length normalization
+    # Device-resident renorm tables, populated lazily by generate_all so the
+    # multi-MB upload happens once per precompute, not once per call
+    _renorm_trie_device: Optional[dict] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
 
 def _trie_walk(trie: dict, tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -789,9 +793,11 @@ def generate_all(
     # structurally identical to store-loaded ones (which don't) — one jit
     # structure either way.
     if renorm:
-        rt_d = jax.device_put({k: precompute.renorm_trie[k]
-                               for k in ("child_tok", "child_id",
-                                         "child_cnt", "node_cnt")})
+        rt_d = precompute._renorm_trie_device
+        if rt_d is None:
+            rt_d = precompute._renorm_trie_device = jax.device_put(
+                {k: precompute.renorm_trie[k]
+                 for k in ("child_tok", "child_id", "child_cnt", "node_cnt")})
     else:
         rt_d = None
 
