@@ -308,7 +308,9 @@ def create_server(model, *, image_dir: Optional[str] = None, host: str = "127.0.
 def main(argv: Optional[Sequence[str]] = None):
     # Restart-cheap serving: persist XLA executables across processes (pairs
     # with --precompute_dir, which persists the host-side decode precompute).
-    # Opt out with NOVIC_JAX_CACHE="".
+    # Opt out with NOVIC_JAX_CACHE="". Effective on real TPU/CPU hosts; the
+    # dev environment's remote-compile relay bypasses the local cache
+    # (probed: no cache files written under the axon backend).
     cache_dir = os.environ.get("NOVIC_JAX_CACHE",
                                os.path.expanduser("~/.cache/novic_jax"))
     if cache_dir:
