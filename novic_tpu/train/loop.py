@@ -116,7 +116,7 @@ def _pad_trailing_and_combine(xs: list, mode: str):
 
 def _accum_concat(xs: list):
     """Concatenate one field of an accumulation group along the batch axis."""
-    if xs is not None and xs and xs[0] is not None and len(xs) == 1:
+    if len(xs) == 1:
         return xs[0]
     return _pad_trailing_and_combine(xs, "concat")
 

@@ -636,6 +636,19 @@ def test_train_loop_adamp_smoke():
         assert np.isfinite(ewa.loss) and ewa.top1 > 0.2
 
 
+class ListLoader:
+    """Minimal in-memory loader for loop-level tests."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
 def test_loop_accum_matches_big_batch(setup):
     """Loop-level gradient accumulation (accum_size loader batches -> one
     optimizer step, reference GradAccum semantics ref
@@ -677,16 +690,6 @@ def test_loop_accum_matches_big_batch(setup):
                             np.concatenate([a[1], pad(b[1], 0)]),
                             np.concatenate([a[2], pad(b[2], True)]), None))
 
-    class ListLoader:
-        def __init__(self, batches):
-            self.batches = batches
-
-        def __len__(self):
-            return len(self.batches)
-
-        def __iter__(self):
-            return iter(self.batches)
-
     results = []
     for batches, accum, bs in ((small_batches, 2, B), (big_batches, 1, 2 * B)):
         model, params = make_model(tc)
@@ -727,16 +730,6 @@ def test_multi_step_dispatch_matches_per_step(setup):
             target = target[:, :C_tok - 1]
             mask = mask[:, :C_tok - 1]
         batches.append((embed, target, mask, None))
-
-    class ListLoader:
-        def __init__(self, batches):
-            self.batches = batches
-
-        def __len__(self):
-            return len(self.batches)
-
-        def __iter__(self):
-            return iter(self.batches)
 
     results = []
     for spd in (1, 3):
