@@ -77,9 +77,15 @@ def save_precompute(store_dir: str, key: str, pre) -> str:
         for table in ("child_tok", "child_id", "child_cnt", "node_cnt"):
             for d in range(depth):
                 arrays[f"trie_{table}_{d:03d}"] = pre.renorm_trie[table][d]
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # Unique tmp per WRITER (mkstemp), not per process: concurrent threads
+    # share a PID and a pid-keyed name would race one writer's rename against
+    # another's open (caught by the store's concurrency test).
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=store_dir,
+                               prefix=f".all_precompute_{key}.tmp.")
     try:
-        with open(tmp, "wb") as f:
+        with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
             f.flush()
             os.fsync(f.fileno())

@@ -655,3 +655,31 @@ def test_micro_batcher_isolates_poisoned_member():
         else:
             assert "poisoned" in v
     assert b.requests_served == 4
+
+
+def test_gencfg_name_codec_fuzz():
+    """Property: every constructible GenerationConfig round-trips its compact
+    name exactly (ref infer.py:357-433 codec), across random axes including
+    the semifix float edge cases."""
+    rng = np.random.default_rng(7)
+    scalers = [0.1, 0.25, 0.5, 1.0, 2.0, 3.25, 10.0]
+    for _ in range(300):
+        method = ["greedy", "beam", "all"][int(rng.integers(3))]
+        guided = bool(rng.integers(2)) or method == "all"
+        kwargs = dict(
+            method=method,
+            topk=1 if method == "greedy" else int(rng.integers(1, 33)),
+            vocab_prior=bool(rng.integers(2)) and method != "greedy",
+            vocab_per_token=bool(rng.integers(2)),
+            vocab_scaler=float(scalers[int(rng.integers(len(scalers)))]),
+            guided=guided,
+            guide_renorm=guided and bool(rng.integers(2)),
+            temperature=float([0.5, 1.0, 1.5, 2.0, 0.25][int(rng.integers(5))]),
+            length_alpha=float([-0.5, -0.2, 0.0, 0.2, 0.5, 1.0][int(rng.integers(6))]),
+        )
+        if not kwargs["vocab_prior"]:
+            kwargs["vocab_per_token"] = False
+            kwargs["vocab_scaler"] = 0.0
+        g = GenerationConfig(**kwargs)
+        g2 = GenerationConfig.from_name(g.name)
+        assert g2 == g, (g.name, g2.name)

@@ -100,3 +100,41 @@ def test_precompute_store_miss_and_corruption(tmp_path):
     # No tmp litter from the atomic writer
     assert all(not n.endswith(".tmp") and ".tmp." not in n
                for n in os.listdir(tmp_path) if n != os.path.basename(path))
+
+
+def test_concurrent_writers_last_commit_wins(tmp_path):
+    """Two writers racing on the same key must never leave a torn file: the
+    atomic tmp+rename commit means readers see one complete artifact."""
+    import threading
+
+    rng = np.random.default_rng(5)
+    gt = _targets(rng)
+    kwargs = dict(length_alpha=0.0, vocab_targets=None, vocab_per_token=False,
+                  vocab_scaler=0.0, guide_targets=gt, guide_renorm=True)
+    pre = precompute_generate_all(V, **kwargs)
+    key = precompute_cache_key(V, **kwargs)
+
+    errs = []
+
+    def writer():
+        try:
+            for _ in range(5):
+                save_precompute(str(tmp_path), key, pre)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    # Interleave reads while writers race
+    for _ in range(10):
+        loaded = load_precompute(str(tmp_path), key)
+        assert loaded is None or loaded.guide_targets.shape == pre.guide_targets.shape
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    final = load_precompute(str(tmp_path), key)
+    assert final is not None
+    _assert_pre_equal(pre, final)
+    # No tmp litter left behind
+    assert all(".tmp." not in n for n in os.listdir(tmp_path))
