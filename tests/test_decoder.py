@@ -707,3 +707,66 @@ def test_generate_all_scan_slicing_invariant(model_and_params):
         np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(many[1]))
         np.testing.assert_allclose(np.asarray(one[2]), np.asarray(many[2]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_guide_trie_fuzz_random_sets():
+    """Property fuzz over random guide-set shapes (duplicates, single rows,
+    shared prefixes, trailing padding): trie children/counts match
+    brute-force prefix matching, and the packed tok+id table unpacks to the
+    separate tables bit-exactly at every depth."""
+    from novic_tpu.models.guide_trie import build_guide_trie
+
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        V_ = int(rng.integers(4, 40))
+        W = int(rng.integers(1, 60))
+        C_ = int(rng.integers(2, 7))
+        lengths = rng.integers(1, C_ + 1, size=W)
+        gt = rng.integers(1, V_, size=(W, C_)).astype(np.int32)
+        # force shared prefixes and exact duplicates into the mix
+        if W > 4:
+            gt[1] = gt[0]
+            gt[2, :2] = gt[0, :2]
+        for i, n in enumerate(lengths):
+            gt[i, n - 1] = 0
+            gt[i, n:] = 0
+        depth = C_ - 1 if C_ > 1 else 1
+        trie = build_guide_trie(gt, V_, depth)
+
+        if trie["child_pack"] is not None:
+            tok_bits = max(V_.bit_length(), 1)
+            for d in range(depth):
+                packed = trie["child_pack"][d]
+                np.testing.assert_array_equal(packed & ((1 << tok_bits) - 1),
+                                              trie["child_tok"][d])
+                np.testing.assert_array_equal(packed >> tok_bits,
+                                              trie["child_id"][d])
+
+        def walk(prefix):
+            node = 1
+            for d, p in enumerate(prefix):
+                ct, cid = trie["child_tok"][d][node], trie["child_id"][d][node]
+                m = np.flatnonzero(ct == p)
+                node = int(cid[m[0]]) if len(m) else 0
+            return node
+
+        prefixes = [[]] + [list(gt[w, :n]) for w in range(W)
+                           for n in range(1, depth)]
+        prefixes += [list(rng.integers(0, V_, size=n))
+                     for n in range(1, depth) for _ in range(3)]
+        for prefix in prefixes:
+            d = len(prefix)
+            alive = [w for w in range(W)
+                     if all(gt[w, i] == p for i, p in enumerate(prefix))]
+            node = walk(prefix)
+            if node == 0:
+                assert not alive, (seed, prefix)
+                continue
+            got = {int(t): int(c)
+                   for t, c in zip(trie["child_tok"][d][node],
+                                   trie["child_cnt"][d][node]) if t < V_}
+            want = {}
+            for w in alive:
+                want[int(gt[w, d])] = want.get(int(gt[w, d]), 0) + 1
+            assert got == want, (seed, prefix, got, want)
+            assert int(trie["node_cnt"][d][node]) == len(alive), (seed, prefix)
