@@ -140,8 +140,13 @@ def test_modality_gap_graded_arm_ordering(tmp_path):
 
     # Graded (nothing saturated) ...
     assert all(0.3 < v < 0.95 for v in img.values()), img
-    # ... with the paper's ordering and real margins
+    # ... with the paper's ordering and real margins. Seed sweep at this
+    # scale (exp probe, seeds 0/1/2): none 57-59, shift 62-63, noise 68-74,
+    # noise+shift 66-74 — the noise-vs-none/shift margins are robust
+    # (>= 5.5 pts at every seed); noise_shift-vs-noise is only resolved at
+    # full training scale (96.5 vs 98.2, MODALITY_GAP.md), so it gets slack
+    # here rather than a strict ordering claim CI cannot support.
     assert img["noise"] - img["none"] >= 0.05, img
     assert img["noise"] - img["shift"] >= 0.03, img
-    assert img["noise_shift"] >= img["noise"] - 0.01, img
+    assert img["noise_shift"] >= img["noise"] - 0.04, img
     assert img["shift"] >= img["none"] - 0.01, img
