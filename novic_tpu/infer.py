@@ -844,6 +844,9 @@ def main(argv: Optional[Sequence[str]] = None):
                         help="CLIP BPE merges file (or set NOVIC_CLIP_BPE / NOVIC_SIGLIP_SPM)")
     parser.add_argument("--compute_dtype", default=None,
                         help="Embedder compute dtype override (float32|bfloat16)")
+    parser.add_argument("--precompute_dir", default=None,
+                        help="On-disk store for 'all'-mode decode precompute "
+                             "(default $NOVIC_PRECOMPUTE_DIR)")
     args = parser.parse_args(argv)
 
     from novic_tpu.embedders.preprocess import load_images
@@ -856,7 +859,8 @@ def main(argv: Optional[Sequence[str]] = None):
     if args.compute_dtype:
         embedder_kwargs["compute_dtype"] = args.compute_dtype
     model = NOVICModel(args.checkpoint, embedder_spec=args.embedder, gencfg=args.gencfg,
-                       batch_size=args.batch_size, embedder_kwargs=embedder_kwargs)
+                       batch_size=args.batch_size, embedder_kwargs=embedder_kwargs,
+                       precompute_dir=args.precompute_dir)
     if args.guide_targets or args.guide_targets_file:
         model.set_guide_targets(args.guide_targets, args.guide_targets_file)
     image_paths = args.images
